@@ -1,0 +1,60 @@
+"""TPU-native KZG / EIP-4844 blob-commitment framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capability surface of
+`lambdaclass/lambdaworks_kzg` (the EIP-4844 "minimal interface"):
+
+    from lambdaworks_kzg_tpu import load_trusted_setup_file, EIP4844Context
+
+    setup = load_trusted_setup_file("trusted_setup.txt")
+    ctx = EIP4844Context(setup)
+    commitment = ctx.blob_to_kzg_commitment(blob)
+    proof = ctx.compute_blob_kzg_proof(blob, commitment)
+    assert ctx.verify_blob_kzg_proof(blob, commitment, proof)
+
+The seven reference entry points (reference src/lib.rs:245-829) map to:
+  blob_to_kzg_commitment      -> EIP4844Context.blob_to_kzg_commitment
+  compute_kzg_proof           -> EIP4844Context.compute_kzg_proof
+  compute_blob_kzg_proof      -> EIP4844Context.compute_blob_kzg_proof
+  verify_kzg_proof            -> EIP4844Context.verify_kzg_proof
+  verify_blob_kzg_proof       -> EIP4844Context.verify_blob_kzg_proof
+  verify_blob_kzg_proof_batch -> EIP4844Context.verify_blob_kzg_proof_batch
+  load_trusted_setup(_file)   -> load_trusted_setup / load_trusted_setup_file
+  free_trusted_setup          -> (garbage collection; no manual free)
+"""
+
+from .constants import (
+    BYTES_PER_BLOB,
+    BYTES_PER_COMMITMENT,
+    BYTES_PER_FIELD_ELEMENT,
+    BYTES_PER_PROOF,
+    FIELD_ELEMENTS_PER_BLOB,
+)
+from .models.eip4844 import EIP4844Context, KZGError
+from .models.kzg import KZG, HostBackend
+from .models.srs import (
+    SetupLoadError,
+    TrustedSetup,
+    load_mainnet_setup,
+    load_trusted_setup_file,
+)
+from .models.srs import load_trusted_setup_from_bytes as load_trusted_setup
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BYTES_PER_BLOB",
+    "BYTES_PER_COMMITMENT",
+    "BYTES_PER_FIELD_ELEMENT",
+    "BYTES_PER_PROOF",
+    "FIELD_ELEMENTS_PER_BLOB",
+    "EIP4844Context",
+    "KZG",
+    "KZGError",
+    "HostBackend",
+    "SetupLoadError",
+    "TrustedSetup",
+    "load_mainnet_setup",
+    "load_trusted_setup",
+    "load_trusted_setup_file",
+    "__version__",
+]

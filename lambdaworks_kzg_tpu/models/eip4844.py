@@ -1,0 +1,153 @@
+"""EIP-4844 protocol entry points (the reference's 7-function surface).
+
+Byte-level parity targets, per function (reference src/lib.rs):
+  blob_to_kzg_commitment       lib.rs:253-283
+  compute_kzg_proof            lib.rs:300-344
+  compute_blob_kzg_proof       lib.rs:361-404
+  verify_kzg_proof             lib.rs:407-453
+  verify_blob_kzg_proof        lib.rs:456-505
+  verify_blob_kzg_proof_batch  lib.rs:525-614
+(plus load_trusted_setup* in models/srs.py and the C ABI shim in capi/).
+
+Semantics follow the consensus-spec-tests vectors (evaluation-form blobs,
+little-endian field encoding, spec hash-to-field); deliberate deviations
+from the reference library are documented in SURVEY.md §7 and in the
+docstrings below. Notably `verify_blob_kzg_proof_batch([]) == True` follows
+the spec, where the reference returns false (src/lib.rs:537-543) against
+its own doc comment (src/lib.rs:514).
+"""
+
+from typing import List, Sequence, Tuple
+
+from ..constants import (
+    BYTES_PER_BLOB,
+    BYTES_PER_COMMITMENT,
+    BYTES_PER_FIELD_ELEMENT,
+    BYTES_PER_PROOF,
+    FIELD_ELEMENTS_PER_BLOB,
+)
+from ..host import curve as C
+from ..utils import hashing as H
+from .kzg import KZG
+from .srs import TrustedSetup
+
+
+class KZGError(ValueError):
+    """Invalid input (maps to C_KZG_ERROR/C_KZG_BADARGS at the C ABI)."""
+
+
+def _check_blob(blob: bytes, n: int) -> List[int]:
+    if len(blob) != n * BYTES_PER_FIELD_ELEMENT:
+        raise KZGError(f"blob must be {n * BYTES_PER_FIELD_ELEMENT} bytes")
+    try:
+        return [
+            H.bytes_to_bls_field(blob[i * 32 : (i + 1) * 32]) for i in range(n)
+        ]
+    except ValueError as e:
+        raise KZGError(str(e)) from e
+
+
+def _check_g1(data: bytes, what: str):
+    if len(data) != 48:
+        raise KZGError(f"{what} must be 48 bytes")
+    try:
+        return C.decompress_g1(bytes(data), subgroup_check=True)
+    except C.DeserializationError as e:
+        raise KZGError(f"bad {what}: {e}") from e
+
+
+def _check_fr(data: bytes, what: str) -> int:
+    if len(data) != 32:
+        raise KZGError(f"{what} must be 32 bytes")
+    try:
+        return H.bytes_to_bls_field(bytes(data))
+    except ValueError as e:
+        raise KZGError(f"bad {what}: {e}") from e
+
+
+class EIP4844Context:
+    """Bound (setup, backend) protocol context.
+
+    Mirrors KZGSettings (reference src/lib.rs:210-232), but converts the
+    setup once at construction instead of on every call (the reference
+    rebuilds the whole SRS per call, src/srs.rs:258-280).
+    """
+
+    def __init__(self, setup: TrustedSetup, backend=None):
+        self.setup = setup
+        self.kzg = KZG(setup, backend=backend)
+        self.n = setup.n
+
+    # -- the seven entry points ---------------------------------------------
+    def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
+        evals = _check_blob(blob, self.n)
+        return C.compress_g1(self.kzg.commit(evals))
+
+    def compute_kzg_proof(self, blob: bytes, z_bytes: bytes) -> Tuple[bytes, bytes]:
+        evals = _check_blob(blob, self.n)
+        z = _check_fr(z_bytes, "z")
+        proof, y = self.kzg.open(evals, z)
+        return C.compress_g1(proof), H.bls_field_to_bytes(y)
+
+    def compute_blob_kzg_proof(self, blob: bytes, commitment_bytes: bytes) -> bytes:
+        evals = _check_blob(blob, self.n)
+        _check_g1(commitment_bytes, "commitment")  # fail fast, lib.rs:373
+        z = H.compute_challenge(blob, bytes(commitment_bytes), self.n)
+        proof, _y = self.kzg.open(evals, z)
+        return C.compress_g1(proof)
+
+    def verify_kzg_proof(
+        self, commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes, proof_bytes: bytes
+    ) -> bool:
+        commitment = _check_g1(commitment_bytes, "commitment")
+        z = _check_fr(z_bytes, "z")
+        y = _check_fr(y_bytes, "y")
+        proof = _check_g1(proof_bytes, "proof")
+        return self.kzg.verify(commitment, z, y, proof)
+
+    def verify_blob_kzg_proof(
+        self, blob: bytes, commitment_bytes: bytes, proof_bytes: bytes
+    ) -> bool:
+        evals = _check_blob(blob, self.n)
+        commitment = _check_g1(commitment_bytes, "commitment")
+        proof = _check_g1(proof_bytes, "proof")
+        z = H.compute_challenge(blob, bytes(commitment_bytes), self.n)
+        y = self.kzg.evaluate(evals, z)
+        return self.kzg.verify(commitment, z, y, proof)
+
+    def verify_blob_kzg_proof_batch(
+        self,
+        blobs: Sequence[bytes],
+        commitment_bytes_list: Sequence[bytes],
+        proof_bytes_list: Sequence[bytes],
+    ) -> bool:
+        n = len(blobs)
+        if len(commitment_bytes_list) != n or len(proof_bytes_list) != n:
+            raise KZGError("length mismatch")
+        if n == 0:
+            return True  # spec; deliberate deviation from reference lib.rs:537-543
+        if n == 1:
+            return self.verify_blob_kzg_proof(
+                blobs[0], commitment_bytes_list[0], proof_bytes_list[0]
+            )
+        commitments, zs, ys, proofs = [], [], [], []
+        for blob, c_bytes, p_bytes in zip(
+            blobs, commitment_bytes_list, proof_bytes_list
+        ):
+            evals = _check_blob(blob, self.n)
+            commitment = _check_g1(c_bytes, "commitment")
+            z = H.compute_challenge(blob, bytes(c_bytes), self.n)
+            y = self.kzg.evaluate(evals, z)
+            proof = _check_g1(p_bytes, "proof")
+            commitments.append(commitment)
+            zs.append(z)
+            ys.append(y)
+            proofs.append(proof)
+        r_powers = H.compute_r_powers(
+            [bytes(b) for b in commitment_bytes_list],
+            zs,
+            ys,
+            [bytes(b) for b in proof_bytes_list],
+            self.n,
+        )
+        return self.kzg.verify_batch(commitments, zs, ys, proofs, r_powers)
