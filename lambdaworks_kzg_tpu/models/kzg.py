@@ -87,6 +87,8 @@ class KZG:
 
     def open(self, evals: Sequence[int], z: int) -> Tuple[object, int]:
         """Returns (proof point, y = p(z))."""
+        if hasattr(self.backend, "open"):
+            return self.backend.open(evals, z)
         y = self.backend.evaluate(evals, z)
         q = self.backend.quotient(evals, z, y)
         return self.backend.commit(q), y

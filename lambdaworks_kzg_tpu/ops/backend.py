@@ -1,0 +1,68 @@
+"""DeviceBackend: the TPU execution tier behind models/kzg.KZG.
+
+Holds the SRS as device-resident Montgomery limb arrays (created once —
+fixing the reference's per-call SRS reconversion, src/srs.rs:258-280) and
+routes commit / evaluate / quotient through the JAX kernels in ops/.
+Bit-identical to models/kzg.HostBackend (the Python-int oracle); the
+consensus vectors pass through either backend.
+"""
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import R
+from ..host import curve as HC
+from . import fr_poly, g1_ops, msm
+from .field_ops import FR
+
+
+def _auto_window(n: int) -> int:
+    """Pippenger window size tuned for lane occupancy vs. bucket load."""
+    if n <= 256:
+        return 4
+    if n <= 1 << 13:
+        return 8
+    if n <= 1 << 17:
+        return 10
+    return 13
+
+
+class DeviceBackend:
+    """JAX/TPU math backend bound to one trusted setup."""
+
+    def __init__(self, setup, window_bits: int = None):
+        self.setup = setup
+        self.n = setup.n
+        self.c = window_bits or _auto_window(self.n)
+        self.points, self.valid = g1_ops.make_points_host(
+            setup.g1_lagrange_brp
+        )
+        self.domain = fr_poly.get_domain(self.n)
+
+    # -- core ops ------------------------------------------------------------
+    def commit(self, evals: Sequence[int]):
+        """MSM over the brp-Lagrange basis -> host Jacobian G1 point."""
+        scalars = msm.scalars_to_device(list(evals))
+        return msm.msm(self.points, self.valid, scalars, c=self.c)
+
+    def commit_scalars_device(self, scalars_plain: jnp.ndarray):
+        """Same, but from an already-device [16, n] plain limb array."""
+        return msm.msm(self.points, self.valid, scalars_plain, c=self.c)
+
+    def evaluate(self, evals: Sequence[int], z: int) -> int:
+        return self.domain.evaluate(list(evals), z)
+
+    def quotient(self, evals: Sequence[int], z: int, y: int) -> List[int]:
+        q_plain = self.domain.quotient_plain_device(list(evals), z, y)
+        from . import limbs as lb
+
+        return lb.limbs_to_ints(np.asarray(q_plain))
+
+    def open(self, evals: Sequence[int], z: int):
+        """(proof point, y) with the quotient staying on-device end-to-end."""
+        y = self.evaluate(evals, z)
+        q_plain = self.domain.quotient_plain_device(list(evals), z % R, y)
+        proof = msm.msm(self.points, self.valid, q_plain, c=self.c)
+        return proof, y

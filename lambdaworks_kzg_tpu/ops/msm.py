@@ -1,0 +1,180 @@
+"""Pippenger multi-scalar multiplication on TPU (JAX/XLA).
+
+The flagship kernel (SURVEY.md §2b "first-class distributed component"),
+replacing lambdaworks `msm::pippenger::msm` behind `g1_lincomb`
+(reference src/lib.rs:234-243) and `kzg.commit`.
+
+TPU formulation (SIMD-friendly, no data-dependent scatter):
+  1. window digits for all points                      [W, N]
+  2. per-window argsort by digit (groups bucket members contiguously)
+  3. bucket start offsets via vectorized searchsorted  [W, 2^c]
+  4. bucket accumulation: all W*2^c buckets advance in lockstep on a
+     flat lane axis M = W*2^c, each masked-mixed-adding its t-th member;
+     the while_loop runs max-bucket-load times
+  5. bucket reduction: suffix scan + pairwise tree, both as flat lane
+     rolls masked at window boundaries (log2(2^c) rounds each)
+  6. the W window sums return to the host for the final Horner combine
+     (sequential 255 doublings — wrong shape for the VPU, trivial on host)
+
+The multi-chip version shards steps 1-4 over points (parallel/) and
+tree-combines per-device bucket arrays with point adds over ICI.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..host import curve as HC
+from . import g1_ops as g1
+from . import limbs as lb
+from .field_ops import FR
+
+
+def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """scalars: uint32[16, N] plain Fr limbs -> digits uint32[W, N].
+
+    W = ceil(256 / c); digit w = (scalar >> (c*w)) & (2^c - 1).
+    Requires c <= 16 so a digit spans at most two 16-bit limbs.
+    """
+    assert 1 <= c <= 16
+    n = scalars.shape[1]
+    num_windows = (256 + c - 1) // c
+    padded = jnp.concatenate(
+        [scalars, jnp.zeros((1, n), dtype=jnp.uint32)], axis=0
+    )
+    outs = []
+    mask = jnp.uint32((1 << c) - 1)
+    for w in range(num_windows):
+        bit = c * w
+        k, s = bit // 16, bit % 16
+        word = padded[k] | (padded[k + 1] << 16)
+        outs.append((word >> s) & mask)
+    return jnp.stack(outs, axis=0)
+
+
+def bucket_accumulate(
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    scalars: jnp.ndarray,
+    c: int,
+) -> jnp.ndarray:
+    """Accumulate points into Pippenger buckets.
+
+    points:  uint32[2, L, N] affine Montgomery
+    valid:   bool[N] (False = infinity / padding)
+    scalars: uint32[16, N] plain Fr limbs
+    returns: uint32[3, L, M] Jacobian bucket sums, M = W * 2^c laid out
+             m = w * 2^c + b (bucket 0 of each window is junk).
+    """
+    n = points.shape[-1]
+    num_buckets = 1 << c
+    digits = window_digits(scalars, c)  # [W, N]
+    num_windows = digits.shape[0]
+
+    # route invalid points and zero digits to bucket 0 (ignored later)
+    digits = jnp.where(valid[None, :], digits, 0)
+
+    order = jnp.argsort(digits, axis=1)  # [W, N]
+    sorted_digits = jnp.take_along_axis(digits, order, axis=1)
+
+    bucket_ids = jnp.arange(num_buckets, dtype=sorted_digits.dtype)
+    starts = jax.vmap(
+        lambda sd: jnp.searchsorted(sd, bucket_ids, side="left")
+    )(sorted_digits).astype(jnp.int32)  # [W, 2^c]
+    ends = jnp.concatenate(
+        [starts[:, 1:], jnp.full((num_windows, 1), n, dtype=jnp.int32)],
+        axis=1,
+    )
+    counts = ends - starts
+    max_load = jnp.max(counts[:, 1:])  # bucket 0 excluded
+
+    m_total = num_windows * num_buckets
+    buckets0 = g1.infinity_like((), m_total)
+    live_bucket = (bucket_ids != 0)[None, :]  # [1, 2^c]
+
+    def body(carry):
+        t, buckets = carry
+        idx = starts + t  # [W, 2^c]
+        live = jnp.logical_and(idx < ends, live_bucket)
+        idx_c = jnp.minimum(idx, n - 1)
+        pt_idx = jnp.take_along_axis(order, idx_c, axis=1)  # [W, 2^c]
+        gathered = jnp.take(points, pt_idx.reshape(-1), axis=-1)  # [2, L, M]
+        buckets = g1.madd(buckets, gathered, live.reshape(-1))
+        return (t + 1, buckets)
+
+    def cond(carry):
+        t, _ = carry
+        return t < max_load
+
+    _, buckets = jax.lax.while_loop(cond, body, (jnp.int32(0), buckets0))
+    return buckets
+
+
+def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
+    """[3, L, M] buckets -> [3, L, W] window sums S_w = sum_b b*B_b.
+
+    Uses suffix sums: S_w = sum_{b>=1} suffix_b with
+    suffix_b = sum_{b'>=b} B_b'. Both phases are fori_loops whose body
+    rolls the flat lane axis; rolls that cross a window boundary are
+    masked out, so the flat layout needs no [W, 2^c] reshape.
+    """
+    num_buckets = 1 << c
+    m_total = buckets.shape[-1]
+    b_idx = jnp.arange(m_total) % num_buckets  # bucket id per lane
+
+    # neutralize bucket-0 lanes so they can't pollute suffix sums
+    arr = jnp.where((b_idx == 0)[None, None, :], 0, buckets)
+
+    def scan_body(k, arr):
+        shift = jnp.int32(1) << k
+        rolled = jnp.roll(arr, -shift, axis=-1)
+        live = (b_idx + shift) < num_buckets
+        summed = g1.add(arr, rolled)
+        return jnp.where(live[None, None, :], summed, arr)
+
+    arr = jax.lax.fori_loop(0, c, scan_body, arr)
+    # arr lane (w, b) = suffix_b for b >= 1; zero the b = 0 junk lane so the
+    # pairwise tree can use it as additive identity (all-zero == infinity).
+    arr = jnp.where((b_idx == 0)[None, None, :], 0, arr)
+
+    def tree_body(k, arr):
+        half = jnp.int32(num_buckets // 2) >> k
+        rolled = jnp.roll(arr, -half, axis=-1)
+        live = b_idx < half
+        summed = g1.add(arr, rolled)
+        return jnp.where(live[None, None, :], summed, arr)
+
+    arr = jax.lax.fori_loop(0, c, tree_body, arr)
+    return arr[..., ::num_buckets]  # lane (w, 0) holds S_w
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def msm_device(points, valid, scalars, c: int = 8):
+    """Full single-chip MSM kernel: returns window sums [3, L, W]."""
+    return bucket_reduce(bucket_accumulate(points, valid, scalars, c), c)
+
+
+def combine_windows_host(window_sums, c: int):
+    """[3, L, W] device window sums -> host Jacobian point (Python ints)."""
+    ws = g1.points_to_host(window_sums)
+    ops = HC.FP_OPS
+    acc = HC.infinity(ops)
+    for w in range(len(ws) - 1, -1, -1):
+        for _ in range(c):
+            acc = HC.point_double(ops, acc)
+        acc = HC.point_add(ops, acc, ws[w])
+    return acc
+
+
+def msm(points, valid, scalars, c: int = 8):
+    """Single-chip MSM -> host Jacobian point."""
+    return combine_windows_host(msm_device(points, valid, scalars, c), c)
+
+
+def scalars_to_device(scalar_ints) -> jnp.ndarray:
+    """Host list of ints (mod r) -> uint32[16, N] plain limb array."""
+    return jnp.asarray(
+        lb.ints_to_limbs([s % FR.modulus for s in scalar_ints], 16)
+    )
