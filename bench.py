@@ -1,0 +1,132 @@
+"""End-of-round benchmark. Prints ONE JSON line.
+
+Headline metric (BASELINE.json): blob_to_kzg_commitment ms/blob — one
+4096-element blob against the full mainnet trusted setup (a single 2^12
+Pippenger MSM) through the public API, on the default JAX backend (the
+real TPU chip under the driver).
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is the
+speedup over this repo's exact host oracle (pure-Python-int Pippenger,
+models/kzg.HostBackend) measured in the same process — the honest stand-in
+for the reference's single-threaded CPU implementation.
+
+Extra fields: msm_2e12_pps / msm_2e20_pps = MSM points/sec at 2^12 and
+2^20 points (device kernel only, warm).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _rand_blob(n, rng):
+    return b"".join(rng.bytes(31) + b"\x00" for _ in range(n))
+
+
+def _time_best(fn, iters, *args):
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn(*args)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lambdaworks_kzg_tpu.models import srs
+    from lambdaworks_kzg_tpu.models.eip4844 import EIP4844Context
+    from lambdaworks_kzg_tpu.models.kzg import HostBackend
+    from lambdaworks_kzg_tpu.ops import codec, msm as msm1
+    from lambdaworks_kzg_tpu.ops.backend import DeviceBackend
+
+    print(f"[bench] jax backend: {jax.default_backend()}", file=sys.stderr)
+    setup = srs.load_mainnet_setup()
+    backend = DeviceBackend(setup)
+    ctx = EIP4844Context(setup, backend=backend)
+
+    rng = np.random.default_rng(42)
+    blobs = [_rand_blob(setup.n, rng) for _ in range(4)]
+
+    # -- headline: blob_to_kzg_commitment end-to-end -------------------------
+    t0 = time.perf_counter()
+    commitment = ctx.blob_to_kzg_commitment(blobs[0])  # compile + run
+    compile_s = time.perf_counter() - t0
+    print(f"[bench] first call (incl. compile): {compile_s:.1f}s", file=sys.stderr)
+
+    iters = 5
+    best = float("inf")
+    for i in range(iters):
+        t0 = time.perf_counter()
+        ctx.blob_to_kzg_commitment(blobs[i % len(blobs)])
+        best = min(best, time.perf_counter() - t0)
+    device_ms = best * 1e3
+
+    # -- baseline: exact host oracle (pure Python ints), one run -------------
+    host = HostBackend(setup)
+    evals = [
+        int.from_bytes(blobs[0][i * 32 : (i + 1) * 32], "little")
+        for i in range(setup.n)
+    ]
+    t0 = time.perf_counter()
+    host_pt = host.commit(evals)
+    host_ms = (time.perf_counter() - t0) * 1e3
+    from lambdaworks_kzg_tpu.host import curve as HC
+
+    assert HC.compress_g1(host_pt) == commitment, "device/host mismatch"
+
+    # -- MSM points/sec at 2^12 and 2^20 (device kernel, warm) ---------------
+    extras = {}
+    points, valid = backend.points, backend.valid
+    scalars = jnp.asarray(codec.blob_to_limbs(blobs[1], setup.n))
+    run = lambda: jax.block_until_ready(
+        msm1.msm_device(points, valid, scalars, backend.c)
+    )
+    run()
+    extras["msm_2e12_pps"] = round(setup.n / _time_best(lambda: run(), 3))
+
+    if os.environ.get("BENCH_SKIP_2E20") != "1":
+        reps = (1 << 20) // setup.n
+        big_pts = jnp.tile(points, (1, 1, reps))
+        big_valid = jnp.tile(valid, (reps,))
+        big_scalars = jnp.asarray(
+            np.concatenate(
+                [codec.blob_to_limbs(_rand_blob(setup.n, rng), setup.n) for _ in range(reps)],
+                axis=1,
+            )
+        )
+        c_big = 13
+        run_big = lambda: jax.block_until_ready(
+            msm1.msm_device(big_pts, big_valid, big_scalars, c_big)
+        )
+        try:
+            t0 = time.perf_counter()
+            run_big()
+            print(
+                f"[bench] 2^20 first call: {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            extras["msm_2e20_pps"] = round((1 << 20) / _time_best(run_big, 2))
+        except Exception as e:  # OOM or compile failure must not kill the bench
+            print(f"[bench] 2^20 MSM skipped: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "blob_to_kzg_commitment",
+        "value": round(device_ms, 3),
+        "unit": "ms/blob",
+        "vs_baseline": round(host_ms / device_ms, 2),
+        "baseline": "host-oracle (pure-Python Pippenger, same process)",
+        "baseline_ms": round(host_ms, 1),
+        "backend": jax.default_backend(),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

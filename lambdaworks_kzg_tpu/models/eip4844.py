@@ -80,6 +80,12 @@ class EIP4844Context:
 
     # -- the seven entry points ---------------------------------------------
     def blob_to_kzg_commitment(self, blob: bytes) -> bytes:
+        fast = getattr(self.kzg.backend, "commit_blob", None)
+        if fast is not None:
+            try:
+                return C.compress_g1(fast(bytes(blob)))
+            except ValueError as e:
+                raise KZGError(str(e)) from e
         evals = _check_blob(blob, self.n)
         return C.compress_g1(self.kzg.commit(evals))
 

@@ -215,6 +215,41 @@ def _decompress_g2_list(g2_bytes):
     return out
 
 
+def create_dev_setup(n: int = 64, secret: Optional[int] = None) -> TrustedSetup:
+    """Generate a small insecure dev SRS (parity: reference `create_srs`,
+    src/utils.rs:84-107, which draws a random toxic waste).
+
+    Produces n monomial G1 powers [s^i]G, the bit-reversed Lagrange basis,
+    and NUM_G2_POINTS G2 powers (protocol uses only [1]_2 and [s]_2,
+    reference src/srs.rs:254,274). Deterministic when `secret` is given.
+    """
+    import secrets as _secrets
+
+    from ..constants import R
+
+    if n & (n - 1) != 0 or n < 2:
+        raise SetupLoadError("n must be a power of two >= 2")
+    s = (secret if secret is not None else _secrets.randbelow(R - 2) + 1) % R
+    ops, ops2 = C.FP_OPS, C.FP2_OPS
+    monomial_jac, acc = [], 1
+    for _ in range(n):
+        monomial_jac.append(C.point_scalar_mul(ops, C.G1_GENERATOR, acc))
+        acc = acc * s % R
+    g2_points, acc = [], 1
+    for _ in range(2):  # protocol uses only [1]_2 and [s]_2
+        g2_points.append(
+            C.to_affine(ops2, C.point_scalar_mul(ops2, C.G2_GENERATOR, acc))
+        )
+        acc = acc * s % R
+    lagrange_jac = FFT.bit_reversal_permutation(FFT.g1_fft(monomial_jac, inverse=True))
+    return TrustedSetup(
+        g1_lagrange_brp=[C.to_affine(ops, pt) for pt in lagrange_jac],
+        g1_monomial=[C.to_affine(ops, pt) for pt in monomial_jac],
+        g2_monomial=g2_points,
+        source_digest=f"dev-{n}",
+    )
+
+
 def load_trusted_setup_file(path: str, use_cache: bool = True) -> TrustedSetup:
     """Parity: reference load_trusted_setup_file (src/lib.rs:779-802 +
     src/srs.rs:99-128), plus the FFT conversion the reference omitted."""

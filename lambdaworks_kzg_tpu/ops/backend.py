@@ -47,6 +47,19 @@ class DeviceBackend:
         scalars = msm.scalars_to_device(list(evals))
         return msm.msm(self.points, self.valid, scalars, c=self.c)
 
+    def commit_blob(self, blob: bytes):
+        """Fast path: raw blob bytes -> host Jacobian G1 point.
+
+        Skips the per-element int conversion entirely — the blob's
+        little-endian wire format is reinterpreted as the device limb
+        layout in one numpy view (ops/codec.py). Raises ValueError on
+        non-canonical elements.
+        """
+        from . import codec
+
+        limbs = jnp.asarray(codec.blob_to_limbs(blob, self.n))
+        return msm.msm(self.points, self.valid, limbs, c=self.c)
+
     def commit_scalars_device(self, scalars_plain: jnp.ndarray):
         """Same, but from an already-device [16, n] plain limb array."""
         return msm.msm(self.points, self.valid, scalars_plain, c=self.c)
