@@ -21,6 +21,7 @@ import numpy as np
 from ..host import curve as HC
 from . import limbs as lb
 from .field_ops import FP
+from .formulas import jacobian_add_core, jacobian_dbl, jacobian_madd_core
 
 L = FP.L  # 24
 
@@ -74,19 +75,8 @@ def _sel_pt(mask, a, b):
 def dbl(p: jnp.ndarray) -> jnp.ndarray:
     """Jacobian doubling (dbl-2009-l, a=0). Handles infinity for free."""
     X, Y, Z = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
-    f = FP
-    XX = f.sqr(X)
-    YY = f.sqr(Y)
-    YYYY = f.sqr(YY)
-    ZZ = f.sqr(Z)
-    S = f.sub(f.sub(f.sqr(f.add(X, YY)), XX), YYYY)
-    S = f.add(S, S)
-    M = f.add(f.add(XX, XX), XX)
-    T = f.sub(f.sqr(M), f.add(S, S))
-    Y8 = f.double(f.double(f.double(YYYY)))
-    Y3 = f.sub(f.mul(M, f.sub(S, T)), Y8)
-    Z3 = f.sub(f.sub(f.sqr(f.add(Y, Z)), YY), ZZ)
-    return jnp.stack([T, Y3, Z3], axis=-3)
+    X3, Y3, Z3 = jacobian_dbl(FP, X, Y, Z)
+    return jnp.stack([X3, Y3, Z3], axis=-3)
 
 
 def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
@@ -94,23 +84,7 @@ def add(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     f = FP
     X1, Y1, Z1 = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
     X2, Y2, Z2 = q[..., 0, :, :], q[..., 1, :, :], q[..., 2, :, :]
-    Z1Z1 = f.sqr(Z1)
-    Z2Z2 = f.sqr(Z2)
-    U1 = f.mul(X1, Z2Z2)
-    U2 = f.mul(X2, Z1Z1)
-    S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
-    S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
-    H = f.sub(U2, U1)
-    Rr = f.sub(S2, S1)
-    HH = f.sqr(H)
-    I = f.double(f.double(HH))
-    J = f.mul(H, I)
-    r2 = f.add(Rr, Rr)
-    V = f.mul(U1, I)
-    X3 = f.sub(f.sub(f.sqr(r2), J), f.add(V, V))
-    S1J = f.mul(S1, J)
-    Y3 = f.sub(f.mul(r2, f.sub(V, X3)), f.add(S1J, S1J))
-    Z3 = f.mul(f.sub(f.sub(f.sqr(f.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+    X3, Y3, Z3, H, Rr = jacobian_add_core(f, X1, Y1, Z1, X2, Y2, Z2)
     out = jnp.stack([X3, Y3, Z3], axis=-3)
 
     h_zero = f.is_zero(H)
@@ -145,20 +119,7 @@ def madd(p: jnp.ndarray, q_aff: jnp.ndarray, q_valid) -> jnp.ndarray:
     f = FP
     X1, Y1, Z1 = p[..., 0, :, :], p[..., 1, :, :], p[..., 2, :, :]
     X2, Y2 = q_aff[..., 0, :, :], q_aff[..., 1, :, :]
-    Z1Z1 = f.sqr(Z1)
-    U2 = f.mul(X2, Z1Z1)
-    S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
-    H = f.sub(U2, X1)
-    Rr = f.sub(S2, Y1)
-    HH = f.sqr(H)
-    I = f.double(f.double(HH))
-    J = f.mul(H, I)
-    r2 = f.add(Rr, Rr)
-    V = f.mul(X1, I)
-    X3 = f.sub(f.sub(f.sqr(r2), J), f.add(V, V))
-    Y1J = f.mul(Y1, J)
-    Y3 = f.sub(f.mul(r2, f.sub(V, X3)), f.add(Y1J, Y1J))
-    Z3 = f.sub(f.sub(f.sqr(f.add(Z1, H)), Z1Z1), HH)
+    X3, Y3, Z3, H, Rr = jacobian_madd_core(f, X1, Y1, Z1, X2, Y2)
     out = jnp.stack([X3, Y3, Z3], axis=-3)
 
     h_zero = f.is_zero(H)

@@ -21,6 +21,7 @@ tree-combines per-device bucket arrays with point adds over ICI.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,36 @@ from ..host import curve as HC
 from . import g1_ops as g1
 from . import limbs as lb
 from .field_ops import FR
+
+
+def _use_pallas() -> bool:
+    """Fused Mosaic kernels on real TPUs; XLA tier elsewhere.
+
+    LWKZG_PALLAS=1/0 overrides (1 uses interpret mode off-TPU: exact but
+    slow — for differential testing only).
+    """
+    env = os.environ.get("LWKZG_PALLAS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
+def _madd(p, q_aff, q_valid):
+    if _use_pallas():
+        from . import pallas_g1
+
+        return pallas_g1.madd(
+            p, q_aff, q_valid, interpret=jax.default_backend() != "tpu"
+        )
+    return g1.madd(p, q_aff, q_valid)
+
+
+def _add(p, q):
+    if _use_pallas():
+        from . import pallas_g1
+
+        return pallas_g1.add(p, q, interpret=jax.default_backend() != "tpu")
+    return g1.add(p, q)
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -101,7 +132,7 @@ def bucket_accumulate(
         idx_c = jnp.minimum(idx, n - 1)
         pt_idx = jnp.take_along_axis(order, idx_c, axis=1)  # [W, 2^c]
         gathered = jnp.take(points, pt_idx.reshape(-1), axis=-1)  # [2, L, M]
-        buckets = g1.madd(buckets, gathered, live.reshape(-1))
+        buckets = _madd(buckets, gathered, live.reshape(-1))
         return (t + 1, buckets)
 
     def cond(carry):
@@ -131,7 +162,7 @@ def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
         shift = jnp.int32(1) << k
         rolled = jnp.roll(arr, -shift, axis=-1)
         live = (b_idx + shift) < num_buckets
-        summed = g1.add(arr, rolled)
+        summed = _add(arr, rolled)
         return jnp.where(live[None, None, :], summed, arr)
 
     arr = jax.lax.fori_loop(0, c, scan_body, arr)
@@ -143,7 +174,7 @@ def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
         half = jnp.int32(num_buckets // 2) >> k
         rolled = jnp.roll(arr, -half, axis=-1)
         live = b_idx < half
-        summed = g1.add(arr, rolled)
+        summed = _add(arr, rolled)
         return jnp.where(live[None, None, :], summed, arr)
 
     arr = jax.lax.fori_loop(0, c, tree_body, arr)
