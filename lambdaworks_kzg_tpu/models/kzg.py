@@ -45,6 +45,10 @@ class HostBackend:
             return evals[idx] % R
         return FFT.barycentric_evaluate(list(evals), z, self.n)
 
+    def msm(self, scalars: Sequence[int], points_affine) -> object:
+        """General MSM over arbitrary affine points (batch-verify lincombs)."""
+        return C.g1_msm(list(scalars), list(points_affine))
+
     def quotient(self, evals: Sequence[int], z: int, y: int) -> List[int]:
         """Evaluations of q(x) = (p(x) - y)/(x - z) on the brp domain."""
         z %= R
@@ -125,23 +129,26 @@ class KZG:
           C_minus_y       = C_i - [y_i]G1
           rhs             = sum r^i C_minus_y_i + proof_z_lincomb
           check e(proof_lincomb, [s]_2) == e(rhs, [1]_2)
+
+        Unlike the reference's per-item [y_i]G scalar muls (src/lib.rs:664),
+        the -sum(r^i y_i) G term folds into the commitment MSM as one extra
+        point: sum r^i (C_i - [y_i]G) = MSM({C_i} + {G}, {r^i} + {-sum}).
+        The three MSMs route through the math backend (device kernels when
+        available).
         """
         ops = C.FP_OPS
-        n = len(commitments)
+        msm = self.backend.msm
         proof_aff = [C.to_affine(ops, p) for p in proofs]
-        cmy_aff = []
-        for commitment, y in zip(commitments, ys):
-            pt = C.point_add(
-                ops,
-                commitment,
-                C.point_neg(ops, C.point_scalar_mul(ops, C.G1_GENERATOR, y)),
-            )
-            cmy_aff.append(C.to_affine(ops, pt))
-        proof_lincomb = C.g1_msm(list(r_powers), proof_aff)
-        proof_z_lincomb = C.g1_msm(
+        commitment_aff = [C.to_affine(ops, pt) for pt in commitments]
+        g1_aff = C.to_affine(ops, C.G1_GENERATOR)
+        neg_y_sum = (-sum(r * y for r, y in zip(r_powers, ys))) % R
+        proof_lincomb = msm(list(r_powers), proof_aff)
+        proof_z_lincomb = msm(
             [r * z % R for r, z in zip(r_powers, zs)], proof_aff
         )
-        c_minus_y_lincomb = C.g1_msm(list(r_powers), cmy_aff)
+        c_minus_y_lincomb = msm(
+            list(r_powers) + [neg_y_sum], commitment_aff + [g1_aff]
+        )
         rhs = C.point_add(ops, c_minus_y_lincomb, proof_z_lincomb)
         return pairings_verify(rhs, self.g2_one, proof_lincomb, self.g2_s)
 

@@ -47,6 +47,18 @@ class DeviceBackend:
         scalars = msm.scalars_to_device(list(evals))
         return msm.msm(self.points, self.valid, scalars, c=self.c)
 
+    def msm(self, scalars: Sequence[int], points_affine) -> object:
+        """General MSM over arbitrary affine points (batch-verify lincombs,
+        reference src/lib.rs:679-685) on the device kernels."""
+        points = list(points_affine)
+        pts, valid = g1_ops.make_points_host(points)
+        return msm.msm(
+            pts,
+            valid,
+            msm.scalars_to_device(list(scalars)),
+            c=_auto_window(len(points)),
+        )
+
     def commit_blob(self, blob: bytes):
         """Fast path: raw blob bytes -> host Jacobian G1 point.
 

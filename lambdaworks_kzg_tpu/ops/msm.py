@@ -63,6 +63,14 @@ def _add(p, q):
     return g1.add(p, q)
 
 
+def _dbl(p):
+    if _use_pallas():
+        from . import pallas_g1
+
+        return pallas_g1.dbl(p, interpret=jax.default_backend() != "tpu")
+    return g1.dbl(p)
+
+
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     """scalars: uint32[16, N] plain Fr limbs -> digits uint32[W, N].
 
@@ -143,42 +151,55 @@ def bucket_accumulate(
     return buckets
 
 
+def _tree_sum_lanes(arr4: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise point-sum over the last (bucket) axis of [3, L, W, k]."""
+    while arr4.shape[-1] > 1:
+        k = arr4.shape[-1] // 2
+        lo = _flat(arr4[..., :k])
+        hi = _flat(arr4[..., k : 2 * k])
+        arr4 = _add(lo, hi).reshape(arr4.shape[:-1] + (k,))
+    return arr4[..., 0]  # [3, L, W]
+
+
+def _flat(arr4: jnp.ndarray) -> jnp.ndarray:
+    """[3, L, W, k] -> [3, L, W*k] (contiguous lane flatten)."""
+    s = arr4.shape
+    return arr4.reshape(s[:-2] + (s[-2] * s[-1],))
+
+
 def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
     """[3, L, M] buckets -> [3, L, W] window sums S_w = sum_b b*B_b.
 
-    Uses suffix sums: S_w = sum_{b>=1} suffix_b with
-    suffix_b = sum_{b'>=b} B_b'. Both phases are fori_loops whose body
-    rolls the flat lane axis; rolls that cross a window boundary are
-    masked out, so the flat layout needs no [W, 2^c] reshape.
+    Fold-reduce: splitting the buckets at h = 2^(c-1) gives
+      sum_b b*B_b = sum_{j<h} j*(B_j + B_{j+h}) + h * sum_{j<h} B_{j+h},
+    so each round folds the bucket axis in half (h/2 point adds per
+    window) and banks the high-half total E_r; the answer is the Horner
+    combine sum_r 2^(c-r) * E_r. Work is ~3*2^c adds per window versus
+    ~2c*2^c for a suffix scan — about 5x less at c = 8 — and every add
+    runs on a contiguous flattened lane block (no rolls, no masks).
     """
     num_buckets = 1 << c
     m_total = buckets.shape[-1]
+    w = m_total // num_buckets
     b_idx = jnp.arange(m_total) % num_buckets  # bucket id per lane
 
-    # neutralize bucket-0 lanes so they can't pollute suffix sums
+    # neutralize bucket-0 lanes (invalid points route there; weight 0)
     arr = jnp.where((b_idx == 0)[None, None, :], 0, buckets)
+    arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
 
-    def scan_body(k, arr):
-        shift = jnp.int32(1) << k
-        rolled = jnp.roll(arr, -shift, axis=-1)
-        live = (b_idx + shift) < num_buckets
-        summed = _add(arr, rolled)
-        return jnp.where(live[None, None, :], summed, arr)
+    totals = []  # E_r = sum of the high half at round r
+    h = num_buckets // 2
+    while h >= 1:
+        lo = arr4[..., :h]
+        hi = arr4[..., h : 2 * h]
+        totals.append(_tree_sum_lanes(hi))
+        arr4 = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
+        h //= 2
 
-    arr = jax.lax.fori_loop(0, c, scan_body, arr)
-    # arr lane (w, b) = suffix_b for b >= 1; zero the b = 0 junk lane so the
-    # pairwise tree can use it as additive identity (all-zero == infinity).
-    arr = jnp.where((b_idx == 0)[None, None, :], 0, arr)
-
-    def tree_body(k, arr):
-        half = jnp.int32(num_buckets // 2) >> k
-        rolled = jnp.roll(arr, -half, axis=-1)
-        live = b_idx < half
-        summed = _add(arr, rolled)
-        return jnp.where(live[None, None, :], summed, arr)
-
-    arr = jax.lax.fori_loop(0, c, tree_body, arr)
-    return arr[..., ::num_buckets]  # lane (w, 0) holds S_w
+    acc = totals[0]
+    for e in totals[1:]:
+        acc = _add(_dbl(acc), e)
+    return acc  # [3, L, W]
 
 
 @functools.partial(jax.jit, static_argnames=("c",))

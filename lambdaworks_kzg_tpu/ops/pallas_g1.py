@@ -291,6 +291,14 @@ def _add_kernel(consts_ref, p_ref, q_ref, out_ref):
     out_ref[2] = Z3
 
 
+def _dbl_kernel(consts_ref, p_ref, out_ref):
+    f = _KernelFp(consts_ref, p_ref.shape[-1])
+    X3, Y3, Z3 = jacobian_dbl(f, p_ref[0], p_ref[1], p_ref[2])
+    out_ref[0] = X3
+    out_ref[1] = Y3
+    out_ref[2] = Z3
+
+
 def _lane_tile(m: int) -> int:
     t = min(TILE, m)
     while m % t:
@@ -344,3 +352,23 @@ def add(p, q, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((3, L, m), jnp.uint32),
         interpret=interpret,
     )(jnp.asarray(_CONSTS), p, q)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dbl(p, interpret: bool = False):
+    """Jacobian doubling, drop-in for ops/g1_ops.dbl on [3, L, M]."""
+    m = p.shape[-1]
+    t = _lane_tile(m)
+    return pl.pallas_call(
+        _dbl_kernel,
+        grid=(m // t,),
+        in_specs=[
+            pl.BlockSpec((4, L), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, L, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, L, t), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, L, m), jnp.uint32),
+        interpret=interpret,
+    )(jnp.asarray(_CONSTS), p)
