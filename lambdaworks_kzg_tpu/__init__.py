@@ -22,6 +22,34 @@ The seven reference entry points (reference src/lib.rs:245-829) map to:
   free_trusted_setup          -> (garbage collection; no manual free)
 """
 
+def _configure_compile_cache():
+    """Default a persistent XLA compile cache (LWKZG_COMPILE_CACHE=0 opts
+    out; a user-set jax_compilation_cache_dir wins).
+
+    The fused limb-arithmetic kernels compile in minutes cold and
+    milliseconds cached; a library whose first call costs 5 minutes per
+    process is unusable without this.
+    """
+    import os
+
+    if os.environ.get("LWKZG_COMPILE_CACHE") == "0":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "lambdaworks_kzg_tpu", "jax"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # jax absent or too old: the host tier still works
+
+
+_configure_compile_cache()
+
 from .constants import (
     BYTES_PER_BLOB,
     BYTES_PER_COMMITMENT,

@@ -163,20 +163,23 @@ def load_trusted_setup_from_bytes(
     if use_cache and os.path.exists(cache_path):
         return _setup_from_cache(cache_path, digest)
 
-    ops = C.FP_OPS
-    monomial_jac = []
-    for b in g1_bytes:
-        try:
-            monomial_jac.append(C.decompress_g1(b, subgroup_check=True))
-        except C.DeserializationError as e:
-            raise SetupLoadError(f"bad g1 point: {e}") from e
     g2_points = _decompress_g2_list(g2_bytes)
-
-    lagrange_jac = FFT.bit_reversal_permutation(
-        FFT.g1_fft(monomial_jac, inverse=True)
-    )
-    monomial = [C.to_affine(ops, pt) for pt in monomial_jac]
-    lagrange = [C.to_affine(ops, pt) for pt in lagrange_jac]
+    converted = _convert_g1_device(g1_bytes) if _device_worthwhile(n1) else None
+    if converted is not None:
+        monomial, lagrange = converted
+    else:
+        ops = C.FP_OPS
+        monomial_jac = []
+        for b in g1_bytes:
+            try:
+                monomial_jac.append(C.decompress_g1(b, subgroup_check=True))
+            except C.DeserializationError as e:
+                raise SetupLoadError(f"bad g1 point: {e}") from e
+        lagrange_jac = FFT.bit_reversal_permutation(
+            FFT.g1_fft(monomial_jac, inverse=True)
+        )
+        monomial = [C.to_affine(ops, pt) for pt in monomial_jac]
+        lagrange = [C.to_affine(ops, pt) for pt in lagrange_jac]
 
     if use_cache:
         os.makedirs(_CACHE_DIR, exist_ok=True)
@@ -213,6 +216,51 @@ def _decompress_g2_list(g2_bytes):
             raise SetupLoadError(f"bad g2 point: {e}") from e
         out.append(C.to_affine(C.FP2_OPS, pt))
     return out
+
+
+def _device_worthwhile(n: int) -> bool:
+    """Use the batched device conversion pipeline on real TPUs for large
+    setups (4096 host decompressions + the G1 group-FFT take ~2 min on
+    host; seconds on chip)."""
+    if n < 256:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _convert_g1_device(g1_bytes: List[bytes]):
+    """Batched on-device decompress + inverse group-FFT + bit reversal.
+
+    Bit-identical to the host path (same formulas, same Montgomery
+    arithmetic); returns (monomial, lagrange_brp) affine host lists, or
+    raises SetupLoadError on any bad point.
+    """
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ..host import fft as _fft
+    from ..ops import g1_batch
+
+    pts_aff, is_inf, err = g1_batch.decompress_batch(g1_bytes)
+    if err.any():
+        raise SetupLoadError(
+            f"bad g1 point at index {int(_np.argmax(err))}"
+        )
+    valid = ~_np.asarray(is_inf)
+    jac = g1_batch.lift_affine(pts_aff, jnp.asarray(valid))
+    lagrange_jac = g1_batch.g1_fft_device(jac, inverse=True)
+    brp = jnp.asarray(
+        _np.asarray(_fft.bit_reversal_permutation(list(range(len(g1_bytes))))),
+        dtype=jnp.int32,
+    )
+    lagrange_brp = jnp.take(lagrange_jac, brp, axis=-1)
+    monomial = g1_batch.jacobians_to_host_affine(jac)
+    lagrange = g1_batch.jacobians_to_host_affine(lagrange_brp)
+    return monomial, lagrange
 
 
 def create_dev_setup(n: int = 64, secret: Optional[int] = None) -> TrustedSetup:

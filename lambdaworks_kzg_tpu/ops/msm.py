@@ -21,7 +21,6 @@ tree-combines per-device bucket arrays with point adds over ICI.
 """
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -30,45 +29,8 @@ import numpy as np
 from ..host import curve as HC
 from . import g1_ops as g1
 from . import limbs as lb
+from .dispatch import add as _add, dbl as _dbl, madd as _madd
 from .field_ops import FR
-
-
-def _use_pallas() -> bool:
-    """Fused Mosaic kernels on real TPUs; XLA tier elsewhere.
-
-    LWKZG_PALLAS=1/0 overrides (1 uses interpret mode off-TPU: exact but
-    slow — for differential testing only).
-    """
-    env = os.environ.get("LWKZG_PALLAS")
-    if env is not None:
-        return env != "0"
-    return jax.default_backend() == "tpu"
-
-
-def _madd(p, q_aff, q_valid):
-    if _use_pallas():
-        from . import pallas_g1
-
-        return pallas_g1.madd(
-            p, q_aff, q_valid, interpret=jax.default_backend() != "tpu"
-        )
-    return g1.madd(p, q_aff, q_valid)
-
-
-def _add(p, q):
-    if _use_pallas():
-        from . import pallas_g1
-
-        return pallas_g1.add(p, q, interpret=jax.default_backend() != "tpu")
-    return g1.add(p, q)
-
-
-def _dbl(p):
-    if _use_pallas():
-        from . import pallas_g1
-
-        return pallas_g1.dbl(p, interpret=jax.default_backend() != "tpu")
-    return g1.dbl(p)
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
