@@ -1,0 +1,105 @@
+"""Python side of the C ABI shim (capi/shim.c).
+
+Every function returns a (ret_code, payload) tuple instead of raising, so
+the C layer only unpacks — no exception plumbing across the embedding
+boundary. Return codes mirror the reference's C_KZG_RET
+(reference src/lib.rs:45-57): 0 OK, 1 BADARGS, 2 ERROR, 3 MALLOC.
+"""
+
+from typing import Optional, Tuple
+
+from .models.eip4844 import EIP4844Context, KZGError
+from .models.srs import (
+    SetupLoadError,
+    TrustedSetup,
+    _parse_setup_text,
+    load_trusted_setup_from_bytes,
+)
+
+C_KZG_OK = 0
+C_KZG_BADARGS = 1
+C_KZG_ERROR = 2
+C_KZG_MALLOC = 3
+
+
+def _wrap(fn):
+    try:
+        return C_KZG_OK, fn()
+    except SetupLoadError as e:
+        # the reference maps only the setup count check to BADARGS
+        # (src/lib.rs:716-718); we extend it to all malformed-argument
+        # failures, which is what upstream c-kzg-4844 does
+        return C_KZG_BADARGS, str(e).encode()
+    except KZGError as e:
+        return C_KZG_BADARGS, str(e).encode()
+    except Exception as e:  # anything unexpected
+        return C_KZG_ERROR, str(e).encode()
+
+
+def new_context_from_parts(
+    g1_bytes: bytes, n1: int, g2_bytes: bytes, n2: int
+) -> Tuple[int, object]:
+    """load_trusted_setup parity (reference src/lib.rs:709-776)."""
+
+    def go():
+        g1 = [bytes(g1_bytes[i * 48 : (i + 1) * 48]) for i in range(n1)]
+        g2 = [bytes(g2_bytes[i * 96 : (i + 1) * 96]) for i in range(n2)]
+        setup = load_trusted_setup_from_bytes(g1, g2, strict_counts=True)
+        return EIP4844Context(setup)
+
+    return _wrap(go)
+
+
+def new_context_from_text(text: bytes) -> Tuple[int, object]:
+    """load_trusted_setup_file parity (reference src/lib.rs:779-802)."""
+
+    def go():
+        g1, g2 = _parse_setup_text(text.decode("utf-8"))
+        setup = load_trusted_setup_from_bytes(g1, g2, strict_counts=False)
+        return EIP4844Context(setup)
+
+    return _wrap(go)
+
+
+def blob_size(ctx: EIP4844Context) -> int:
+    return ctx.n * 32
+
+
+def blob_to_kzg_commitment(ctx, blob: bytes) -> Tuple[int, bytes]:
+    return _wrap(lambda: ctx.blob_to_kzg_commitment(blob))
+
+
+def compute_kzg_proof(ctx, blob: bytes, z: bytes) -> Tuple[int, bytes]:
+    """Returns proof(48) || y(32) concatenated."""
+
+    def go():
+        proof, y = ctx.compute_kzg_proof(blob, z)
+        return proof + y
+
+    return _wrap(go)
+
+
+def compute_blob_kzg_proof(ctx, blob: bytes, commitment: bytes) -> Tuple[int, bytes]:
+    return _wrap(lambda: ctx.compute_blob_kzg_proof(blob, commitment))
+
+
+def verify_kzg_proof(ctx, c: bytes, z: bytes, y: bytes, p: bytes):
+    return _wrap(lambda: ctx.verify_kzg_proof(c, z, y, p))
+
+
+def verify_blob_kzg_proof(ctx, blob: bytes, c: bytes, p: bytes):
+    return _wrap(lambda: ctx.verify_blob_kzg_proof(blob, c, p))
+
+
+def verify_blob_kzg_proof_batch(
+    ctx, blobs: bytes, cs: bytes, ps: bytes, n: int
+):
+    def go():
+        size = ctx.n * 32
+        return ctx.verify_blob_kzg_proof_batch(
+            [blobs[i * size : (i + 1) * size] for i in range(n)],
+            [cs[i * 48 : (i + 1) * 48] for i in range(n)],
+            [ps[i * 48 : (i + 1) * 48] for i in range(n)],
+        )
+
+    return _wrap(go)

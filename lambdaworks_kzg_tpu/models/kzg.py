@@ -154,10 +154,20 @@ class KZG:
 
 
 def _default_backend(setup: TrustedSetup):
-    """Prefer the device backend when JAX is importable; fall back to host."""
+    """Prefer the device backend when JAX is importable; fall back to host.
+
+    LWKZG_BACKEND=host|device forces a tier (host = the exact Python-int
+    oracle, no JAX dependency on the call path)."""
+    import os
+
+    forced = os.environ.get("LWKZG_BACKEND")
+    if forced == "host":
+        return HostBackend(setup)
     try:
         from ..ops.backend import DeviceBackend
 
         return DeviceBackend(setup)
     except Exception:
+        if forced == "device":
+            raise
         return HostBackend(setup)
