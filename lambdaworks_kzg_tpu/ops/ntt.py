@@ -35,13 +35,15 @@ class NTTPlan:
         assert n & (n - 1) == 0 and n >= 2
         self.n = n
         self.stages = n.bit_length() - 1
-        self.brp_idx = jnp.asarray(
-            np.asarray(HFFT.bit_reversal_permutation(list(range(n)))),
-            dtype=jnp.int32,
+        # plans hold NUMPY arrays: plan creation may happen lazily inside
+        # a jit/shard_map trace, and caching traced jnp constants would
+        # leak tracers into later traces
+        self.brp_idx = np.asarray(
+            HFFT.bit_reversal_permutation(list(range(n))), dtype=np.int32
         )
         self.tw_fwd = self._twiddle_planes(inverse=False)
         self.tw_inv = self._twiddle_planes(inverse=True)
-        self.n_inv_mont = jnp.asarray(FR.to_mont_host([pow(n, R - 2, R)]))
+        self.n_inv_mont = FR.to_mont_host([pow(n, R - 2, R)])
 
     def _twiddle_planes(self, inverse: bool):
         """One [16, n/2] Montgomery twiddle plane per stage.
@@ -60,7 +62,7 @@ class NTTPlan:
             for j in range(1, half):
                 tw[j] = tw[j - 1] * w % R
             plane = tw * (n // length)
-            planes.append(jnp.asarray(FR.to_mont_host(plane)))
+            planes.append(FR.to_mont_host(plane))
             length *= 2
         return planes
 
@@ -75,39 +77,47 @@ def get_plan(n: int) -> NTTPlan:
 
 
 def _butterfly_stage(x: jnp.ndarray, tw: jnp.ndarray, length: int) -> jnp.ndarray:
-    """One CT stage on [16, n]: (e, o) -> (e + tw*o, e - tw*o)."""
+    """One CT stage on [..., 16, n]: (e, o) -> (e + tw*o, e - tw*o)."""
+    lead = x.shape[:-1]
     n = x.shape[-1]
     half = length // 2
-    x4 = x.reshape(16, n // length, length)
-    even = x4[..., :half].reshape(16, n // 2)
-    odd = x4[..., half:].reshape(16, n // 2)
+    x4 = x.reshape(lead + (n // length, length))
+    even = x4[..., :half].reshape(lead + (n // 2,))
+    odd = x4[..., half:].reshape(lead + (n // 2,))
     t = FR.mul(odd, tw)
-    out_e = FR.add(even, t).reshape(16, n // length, half)
-    out_o = FR.sub(even, t).reshape(16, n // length, half)
-    return jnp.concatenate([out_e, out_o], axis=-1).reshape(16, n)
+    out_e = FR.add(even, t).reshape(lead + (n // length, half))
+    out_o = FR.sub(even, t).reshape(lead + (n // length, half))
+    return jnp.concatenate([out_e, out_o], axis=-1).reshape(lead + (n,))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "inverse"))
-def _ntt_mont(x_mont, brp_idx, tw_planes, n_inv_mont, n: int, inverse: bool):
-    """Natural-order NTT on Montgomery limbs [16, n]."""
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "scale"))
+def _ntt_mont(
+    x_mont, brp_idx, tw_planes, n_inv_mont, n: int, inverse: bool,
+    scale: bool = True,
+):
+    """Natural-order NTT on Montgomery limbs [..., 16, n]."""
     x = jnp.take(x_mont, brp_idx, axis=-1)
     length = 2
     for tw in tw_planes:
         x = _butterfly_stage(x, tw, length)
         length *= 2
-    if inverse:
+    if inverse and scale:
         x = FR.mul(x, jnp.broadcast_to(n_inv_mont, x.shape))
     return x
 
 
-def ntt_device(x_mont: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """Montgomery [16, n] -> Montgomery [16, n], natural order in/out
-    (same semantics as host/fft.fr_fft)."""
+def ntt_device(
+    x_mont: jnp.ndarray, inverse: bool = False, scale: bool = True
+) -> jnp.ndarray:
+    """Montgomery [..., 16, n] -> same shape, natural order in/out on the
+    last axis (same semantics as host/fft.fr_fft). `scale=False` skips the
+    1/n factor of the inverse transform (the 4-step multichip transform
+    applies it once globally)."""
     n = x_mont.shape[-1]
     plan = get_plan(n)
     tw = plan.tw_inv if inverse else plan.tw_fwd
     return _ntt_mont(
-        x_mont, plan.brp_idx, tuple(tw), plan.n_inv_mont, n, inverse
+        x_mont, plan.brp_idx, tuple(tw), plan.n_inv_mont, n, inverse, scale
     )
 
 
