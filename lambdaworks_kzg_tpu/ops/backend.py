@@ -19,14 +19,16 @@ from .field_ops import FR
 
 
 def _auto_window(n: int) -> int:
-    """Pippenger window size tuned for lane occupancy vs. bucket load."""
+    """Pippenger window size tuned for lane occupancy vs. bucket load.
+
+    c must divide 256 evenly: otherwise the top window spans past bit
+    255 and its few occupied buckets concentrate the load — the lockstep
+    accumulation loop runs max-bucket-load iterations, so a skewed top
+    window dominates (measured 10x regression at c=10 on 2^16 points).
+    """
     if n <= 256:
         return 4
-    if n <= 1 << 13:
-        return 8
-    if n <= 1 << 17:
-        return 10
-    return 13
+    return 8
 
 
 class DeviceBackend:
