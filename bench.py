@@ -67,6 +67,20 @@ def main():
         best = min(best, time.perf_counter() - t0)
     device_ms = best * 1e3
 
+    # pipelined throughput: dispatch 16 MSMs async, block once (the dev
+    # chip sits behind a ~40ms RTT tunnel; serving pipelines)
+    dls = [
+        jnp.asarray(codec.blob_to_limbs(_rand_blob(setup.n, rng), setup.n))
+        for _ in range(16)
+    ]
+    t0 = time.perf_counter()
+    outs = [
+        msm1.msm_device(backend.points, backend.valid, d, backend.c)
+        for d in dls
+    ]
+    jax.block_until_ready(outs)
+    pipelined_ms = (time.perf_counter() - t0) / 16 * 1e3
+
     # -- baseline: exact host oracle (pure Python ints), one run -------------
     host = HostBackend(setup)
     evals = [
@@ -100,7 +114,7 @@ def main():
                 axis=1,
             )
         )
-        c_big = 13
+        c_big = 8  # must divide 256: top-window skew dominates otherwise
         run_big = lambda: jax.block_until_ready(
             msm1.msm_device(big_pts, big_valid, big_scalars, c_big)
         )
@@ -123,6 +137,7 @@ def main():
         "baseline": "host-oracle (pure-Python Pippenger, same process)",
         "baseline_ms": round(host_ms, 1),
         "backend": jax.default_backend(),
+        "pipelined_ms_per_blob": round(pipelined_ms, 2),
         **extras,
     }
     print(json.dumps(result))
