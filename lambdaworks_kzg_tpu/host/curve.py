@@ -234,21 +234,44 @@ G1_GENERATOR = (G1_GENERATOR_X, G1_GENERATOR_Y, 1)
 G2_GENERATOR = (G2_GENERATOR_X, G2_GENERATOR_Y, F.FP2_ONE)
 
 
-def g1_in_subgroup(pt) -> bool:
-    """Definitional subgroup check: [r]P == O.
+def _g1_in_subgroup_py(pt) -> bool:
+    """Pure-Python definitional subgroup check: [r]P == O (the oracle).
 
     NOTE: the plain GLV-eigenvalue shortcut phi(P) == -[x^2]P is NOT
     sufficient on BLS12-381 (non-G1 points from the consensus `not_in_G1`
     vectors satisfy it); only the definitional check is authoritative here.
-    The batched device tier amortizes this cost (ops/g1_ops.py).
+    The batched device tier amortizes this cost (ops/g1_batch.py).
     """
     if is_infinity(FP_OPS, pt):
         return True
     return is_infinity(FP_OPS, point_scalar_mul_raw(FP_OPS, pt, R))
 
 
-def g2_in_subgroup(pt) -> bool:
+def _g2_in_subgroup_py(pt) -> bool:
     return is_infinity(FP2_OPS, point_scalar_mul_raw(FP2_OPS, pt, R))
+
+
+def g1_in_subgroup(pt) -> bool:
+    """[r]P == O, via the native C++ tier when built (the per-point host
+    scalar mul is the verify path's hottest op; LWKZG_NATIVE=0 forces the
+    pure-Python check — differential-tested in tests/test_native.py)."""
+    if is_infinity(FP_OPS, pt):
+        return True
+    from .. import native
+
+    if native.available():
+        return native.g1_in_subgroup_affine(to_affine(FP_OPS, pt))
+    return _g1_in_subgroup_py(pt)
+
+
+def g2_in_subgroup(pt) -> bool:
+    if is_infinity(FP2_OPS, pt):
+        return True
+    from .. import native
+
+    if native.available():
+        return native.g2_in_subgroup_affine(to_affine(FP2_OPS, pt))
+    return _g2_in_subgroup_py(pt)
 
 
 # ---------------------------------------------------------------------------

@@ -99,8 +99,34 @@ class KZG:
 
     # -- verification -------------------------------------------------------
     def verify(self, commitment, z: int, y: int, proof) -> bool:
-        """e(C - [y]G1, [1]_2) == e(proof, [s - z]_2)."""
+        """e(C - [y]G1, [1]_2) == e(proof, [s - z]_2).
+
+        Routed through the native C++ tier when built (pairing + the two
+        fixed-base scalar muls are latency-bound single-point ops, ~100x
+        slower in Python ints); LWKZG_NATIVE=0 forces the Python oracle.
+        """
         ops, ops2 = C.FP_OPS, C.FP2_OPS
+        from .. import native
+
+        if native.available():
+            yg = native.g1_scalar_mul_affine(
+                C.to_affine(ops, C.G1_GENERATOR), y % R
+            )
+            zg2 = native.g2_scalar_mul_affine(
+                C.to_affine(ops2, C.G2_GENERATOR), z % R
+            )
+            p_minus_y = C.point_add(
+                ops, commitment, C.point_neg(ops, C.from_affine(ops, yg))
+            ) if yg else commitment
+            x_minus_z = C.point_add(
+                ops2, self.g2_s, C.point_neg(ops2, C.from_affine(ops2, zg2))
+            ) if zg2 else self.g2_s
+            return native.pairings_verify_affine(
+                C.to_affine(ops, p_minus_y),
+                C.to_affine(ops2, self.g2_one),
+                C.to_affine(ops, proof),
+                C.to_affine(ops2, x_minus_z),
+            )
         p_minus_y = C.point_add(
             ops,
             commitment,
@@ -150,6 +176,15 @@ class KZG:
             list(r_powers) + [neg_y_sum], commitment_aff + [g1_aff]
         )
         rhs = C.point_add(ops, c_minus_y_lincomb, proof_z_lincomb)
+        from .. import native
+
+        if native.available():
+            return native.pairings_verify_affine(
+                C.to_affine(ops, rhs),
+                C.to_affine(C.FP2_OPS, self.g2_one),
+                C.to_affine(ops, proof_lincomb),
+                C.to_affine(C.FP2_OPS, self.g2_s),
+            )
         return pairings_verify(rhs, self.g2_one, proof_lincomb, self.g2_s)
 
 

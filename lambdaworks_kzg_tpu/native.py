@@ -1,0 +1,128 @@
+"""ctypes binding for the native C++ tier (native/bls12_381.cpp).
+
+Pairing checks and subgroup tests are latency-bound single-point ops —
+the wrong shape for TPU vector lanes and ~100x too slow in Python ints.
+The native tier mirrors the host oracle's formulas one-to-one and is
+differential-tested against it (tests/test_native.py).
+
+LWKZG_NATIVE=0 disables (falls back to the pure-Python oracle).
+"""
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libbls12381_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LWKZG_NATIVE") == "0":
+        return None
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.lw_init.restype = ctypes.c_int
+        lib.lw_pairings_verify.restype = ctypes.c_int
+        lib.lw_g1_in_subgroup.restype = ctypes.c_int
+        lib.lw_g2_in_subgroup.restype = ctypes.c_int
+        lib.lw_g1_scalar_mul.restype = ctypes.c_int
+        lib.lw_g2_scalar_mul.restype = ctypes.c_int
+        if lib.lw_init() != 0:
+            return None
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _g1_bytes(aff) -> bytes:
+    x, y = aff
+    return x.to_bytes(48, "big") + y.to_bytes(48, "big")
+
+
+def _g2_bytes(aff) -> bytes:
+    (x0, x1), (y0, y1) = aff
+    return (
+        x0.to_bytes(48, "big")
+        + x1.to_bytes(48, "big")
+        + y0.to_bytes(48, "big")
+        + y1.to_bytes(48, "big")
+    )
+
+
+def pairings_verify_affine(a1, a2, b1, b2) -> bool:
+    """e(a1, a2) == e(b1, b2) for affine tuples (None = infinity)."""
+    lib = _load()
+    assert lib is not None
+    r = lib.lw_pairings_verify(
+        _g1_bytes(a1) if a1 else b"\x00" * 96,
+        1 if a1 is None else 0,
+        _g2_bytes(a2) if a2 else b"\x00" * 192,
+        1 if a2 is None else 0,
+        _g1_bytes(b1) if b1 else b"\x00" * 96,
+        1 if b1 is None else 0,
+        _g2_bytes(b2) if b2 else b"\x00" * 192,
+        1 if b2 is None else 0,
+    )
+    return r == 1
+
+
+def g1_in_subgroup_affine(aff) -> bool:
+    lib = _load()
+    assert lib is not None
+    return lib.lw_g1_in_subgroup(_g1_bytes(aff)) == 1
+
+
+def g2_in_subgroup_affine(aff) -> bool:
+    lib = _load()
+    assert lib is not None
+    return lib.lw_g2_in_subgroup(_g2_bytes(aff)) == 1
+
+
+def g2_scalar_mul_affine(aff, k: int):
+    """[k]Q -> affine ((x0,x1),(y0,y1)) or None (infinity)."""
+    lib = _load()
+    assert lib is not None
+    out = ctypes.create_string_buffer(192)
+    inf = lib.lw_g2_scalar_mul(
+        _g2_bytes(aff), (k % (1 << 256)).to_bytes(32, "big"), out
+    )
+    if inf:
+        return None
+    v = [int.from_bytes(out.raw[i * 48 : (i + 1) * 48], "big") for i in range(4)]
+    return ((v[0], v[1]), (v[2], v[3]))
+
+
+def g1_scalar_mul_affine(aff, k: int):
+    """[k]P -> affine tuple or None (infinity)."""
+    lib = _load()
+    assert lib is not None
+    out = ctypes.create_string_buffer(96)
+    inf = lib.lw_g1_scalar_mul(
+        _g1_bytes(aff), (k % (1 << 256)).to_bytes(32, "big"), out
+    )
+    if inf:
+        return None
+    return (
+        int.from_bytes(out.raw[:48], "big"),
+        int.from_bytes(out.raw[48:96], "big"),
+    )

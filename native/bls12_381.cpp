@@ -1,0 +1,993 @@
+// Native BLS12-381 pairing + curve ops for the verify path.
+//
+// The framework's third math tier (host-Python oracle / JAX device /
+// native C++): the ate pairing and subgroup checks are latency-bound
+// single-point operations — wrong shape for the TPU's vector lanes, two
+// orders of magnitude too slow in Python ints. This file mirrors the
+// host oracle's formulas ONE-TO-ONE (host/field.py tower, host/pairing.py
+// Fp12-embedded affine Miller loop + integer-exponent hard part,
+// host/curve.py Jacobian law), so every function is differential-testable
+// against the Python ground truth.
+//
+// Replaces the reference's use of lambdaworks `BLS12381AtePairing`
+// (reference src/utils.rs:224-236) and the per-point subgroup scalar mul
+// (reference src/compression.rs:22-27).
+
+#include <cstdint>
+#include <cstring>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+// ---------------------------------------------------------------------------
+// Fp: 6x64-bit Montgomery
+// ---------------------------------------------------------------------------
+
+static const u64 N[6] = {
+    0xb9feffffffffaaabULL, 0x1eabfffeb153ffffULL, 0x6730d2a0f6b0f624ULL,
+    0x64774b84f38512bfULL, 0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL};
+
+struct Fp {
+    u64 l[6];
+};
+
+static Fp FP_ZERO, FP_ONE /* = R mod N */, FP_R2;
+static u64 N0INV;
+
+static inline bool fp_is_zero(const Fp &a) {
+    u64 r = 0;
+    for (int i = 0; i < 6; i++) r |= a.l[i];
+    return r == 0;
+}
+
+static inline bool fp_eq(const Fp &a, const Fp &b) {
+    u64 r = 0;
+    for (int i = 0; i < 6; i++) r |= a.l[i] ^ b.l[i];
+    return r == 0;
+}
+
+static inline int fp_cmp_n(const Fp &a) {  // a >= N ?
+    for (int i = 5; i >= 0; i--) {
+        if (a.l[i] > N[i]) return 1;
+        if (a.l[i] < N[i]) return -1;
+    }
+    return 0;
+}
+
+static inline void fp_sub_n(Fp &a) {  // a -= N (no borrow out)
+    u128 borrow = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)a.l[i] - N[i] - borrow;
+        a.l[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+}
+
+static inline void fp_add(Fp &out, const Fp &a, const Fp &b) {
+    u128 carry = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 s = (u128)a.l[i] + b.l[i] + carry;
+        out.l[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fp_cmp_n(out) >= 0) fp_sub_n(out);
+}
+
+static inline void fp_sub(Fp &out, const Fp &a, const Fp &b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 6; i++) {
+        u128 d = (u128)a.l[i] - b.l[i] - borrow;
+        out.l[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+    if (borrow) {  // += N
+        u128 carry = 0;
+        for (int i = 0; i < 6; i++) {
+            u128 s = (u128)out.l[i] + N[i] + carry;
+            out.l[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+}
+
+static inline void fp_neg(Fp &out, const Fp &a) {
+    if (fp_is_zero(a)) { out = a; return; }
+    fp_sub(out, FP_ZERO, a);
+    // FP_ZERO - a wraps to N - a via the borrow branch
+}
+
+// CIOS Montgomery multiplication
+static void fp_mul(Fp &out, const Fp &a, const Fp &b) {
+    u64 t[8] = {0};
+    for (int i = 0; i < 6; i++) {
+        u128 carry = 0;
+        u64 ai = a.l[i];
+        for (int j = 0; j < 6; j++) {
+            u128 s = (u128)ai * b.l[j] + t[j] + carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[6] + carry;
+        t[6] = (u64)s;
+        t[7] = (u64)(s >> 64);
+
+        u64 m = t[0] * N0INV;
+        carry = 0;
+        u128 s0 = (u128)m * N[0] + t[0];
+        carry = s0 >> 64;
+        for (int j = 1; j < 6; j++) {
+            u128 sj = (u128)m * N[j] + t[j] + carry;
+            t[j - 1] = (u64)sj;
+            carry = sj >> 64;
+        }
+        u128 s6 = (u128)t[6] + carry;
+        t[5] = (u64)s6;
+        t[6] = t[7] + (u64)(s6 >> 64);
+        t[7] = 0;
+    }
+    Fp r;
+    memcpy(r.l, t, sizeof(r.l));
+    if (t[6] || fp_cmp_n(r) >= 0) fp_sub_n(r);
+    out = r;
+}
+
+static inline void fp_sqr(Fp &out, const Fp &a) { fp_mul(out, a, a); }
+
+static void fp_pow(Fp &out, const Fp &a, const u64 *e, int nwords) {
+    Fp result = FP_ONE, base = a;
+    for (int w = 0; w < nwords; w++) {
+        u64 bits = e[w];
+        for (int i = 0; i < 64; i++) {
+            if (w * 64 + i >= nwords * 64) break;
+            if (bits & 1) fp_mul(result, result, base);
+            fp_sqr(base, base);
+            bits >>= 1;
+        }
+    }
+    out = result;
+}
+
+static const u64 N_MINUS_2[6] = {
+    0xb9feffffffffaaa9ULL, 0x1eabfffeb153ffffULL, 0x6730d2a0f6b0f624ULL,
+    0x64774b84f38512bfULL, 0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL};
+
+static void fp_inv(Fp &out, const Fp &a) { fp_pow(out, a, N_MINUS_2, 6); }
+
+static void fp_from_be(Fp &out, const uint8_t *be48) {
+    Fp plain;
+    for (int i = 0; i < 6; i++) {
+        u64 v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | be48[(5 - i) * 8 + j];
+        plain.l[i] = v;
+    }
+    fp_mul(out, plain, FP_R2);  // to Montgomery
+}
+
+static void fp_to_be(uint8_t *be48, const Fp &a) {
+    Fp one_plain;  // from Montgomery: multiply by 1
+    Fp one = {{1, 0, 0, 0, 0, 0}};
+    fp_mul(one_plain, a, one);
+    for (int i = 0; i < 6; i++) {
+        u64 v = one_plain.l[5 - i];
+        for (int j = 0; j < 8; j++) be48[i * 8 + j] = (uint8_t)(v >> (56 - 8 * j));
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Fp2 = Fp[u]/(u^2+1)   (formulas: host/field.py)
+// ---------------------------------------------------------------------------
+
+struct Fp2 { Fp c0, c1; };
+
+static Fp2 FP2_ZERO_, FP2_ONE_;
+
+static inline void fp2_add(Fp2 &o, const Fp2 &a, const Fp2 &b) {
+    fp_add(o.c0, a.c0, b.c0);
+    fp_add(o.c1, a.c1, b.c1);
+}
+static inline void fp2_sub(Fp2 &o, const Fp2 &a, const Fp2 &b) {
+    fp_sub(o.c0, a.c0, b.c0);
+    fp_sub(o.c1, a.c1, b.c1);
+}
+static inline void fp2_neg(Fp2 &o, const Fp2 &a) {
+    fp_neg(o.c0, a.c0);
+    fp_neg(o.c1, a.c1);
+}
+static void fp2_mul(Fp2 &o, const Fp2 &a, const Fp2 &b) {
+    Fp t0, t1, sa, sb, m;
+    fp_mul(t0, a.c0, b.c0);
+    fp_mul(t1, a.c1, b.c1);
+    fp_add(sa, a.c0, a.c1);
+    fp_add(sb, b.c0, b.c1);
+    fp_mul(m, sa, sb);
+    Fp c0, c1;
+    fp_sub(c0, t0, t1);
+    fp_sub(m, m, t0);
+    fp_sub(c1, m, t1);
+    o.c0 = c0;
+    o.c1 = c1;
+}
+static void fp2_sqr(Fp2 &o, const Fp2 &a) {
+    Fp s, d, m;
+    fp_add(s, a.c0, a.c1);
+    fp_sub(d, a.c0, a.c1);
+    fp_mul(m, a.c0, a.c1);
+    Fp c0;
+    fp_mul(c0, s, d);
+    o.c0 = c0;
+    fp_add(o.c1, m, m);
+}
+static void fp2_inv(Fp2 &o, const Fp2 &a) {
+    Fp n0, n1, norm, ninv;
+    fp_sqr(n0, a.c0);
+    fp_sqr(n1, a.c1);
+    fp_add(norm, n0, n1);
+    fp_inv(ninv, norm);
+    fp_mul(o.c0, a.c0, ninv);
+    Fp negc1;
+    fp_neg(negc1, a.c1);
+    fp_mul(o.c1, negc1, ninv);
+}
+static inline void fp2_conj(Fp2 &o, const Fp2 &a) {
+    o.c0 = a.c0;
+    fp_neg(o.c1, a.c1);
+}
+static inline void fp2_mul_by_xi(Fp2 &o, const Fp2 &a) {  // xi = 1 + u
+    Fp c0, c1;
+    fp_sub(c0, a.c0, a.c1);
+    fp_add(c1, a.c0, a.c1);
+    o.c0 = c0;
+    o.c1 = c1;
+}
+static inline bool fp2_is_zero(const Fp2 &a) {
+    return fp_is_zero(a.c0) && fp_is_zero(a.c1);
+}
+static inline bool fp2_eq(const Fp2 &a, const Fp2 &b) {
+    return fp_eq(a.c0, b.c0) && fp_eq(a.c1, b.c1);
+}
+
+// ---------------------------------------------------------------------------
+// Fp6 = Fp2[v]/(v^3 - xi), Fp12 = Fp6[w]/(w^2 - v)   (host/field.py)
+// ---------------------------------------------------------------------------
+
+struct Fp6 { Fp2 c0, c1, c2; };
+struct Fp12 { Fp6 c0, c1; };
+
+static Fp6 FP6_ZERO_, FP6_ONE_;
+static Fp12 FP12_ONE_;
+
+static inline void fp6_add(Fp6 &o, const Fp6 &a, const Fp6 &b) {
+    fp2_add(o.c0, a.c0, b.c0);
+    fp2_add(o.c1, a.c1, b.c1);
+    fp2_add(o.c2, a.c2, b.c2);
+}
+static inline void fp6_sub(Fp6 &o, const Fp6 &a, const Fp6 &b) {
+    fp2_sub(o.c0, a.c0, b.c0);
+    fp2_sub(o.c1, a.c1, b.c1);
+    fp2_sub(o.c2, a.c2, b.c2);
+}
+static inline void fp6_neg(Fp6 &o, const Fp6 &a) {
+    fp2_neg(o.c0, a.c0);
+    fp2_neg(o.c1, a.c1);
+    fp2_neg(o.c2, a.c2);
+}
+static void fp6_mul(Fp6 &o, const Fp6 &a, const Fp6 &b) {
+    Fp2 t0, t1, t2, s, u, m;
+    fp2_mul(t0, a.c0, b.c0);
+    fp2_mul(t1, a.c1, b.c1);
+    fp2_mul(t2, a.c2, b.c2);
+    Fp2 c0, c1, c2;
+    // c0 = t0 + xi*((a1+a2)(b1+b2) - t1 - t2)
+    fp2_add(s, a.c1, a.c2);
+    fp2_add(u, b.c1, b.c2);
+    fp2_mul(m, s, u);
+    fp2_sub(m, m, t1);
+    fp2_sub(m, m, t2);
+    fp2_mul_by_xi(m, m);
+    fp2_add(c0, t0, m);
+    // c1 = (a0+a1)(b0+b1) - t0 - t1 + xi*t2
+    fp2_add(s, a.c0, a.c1);
+    fp2_add(u, b.c0, b.c1);
+    fp2_mul(m, s, u);
+    fp2_sub(m, m, t0);
+    fp2_sub(m, m, t1);
+    Fp2 xt2;
+    fp2_mul_by_xi(xt2, t2);
+    fp2_add(c1, m, xt2);
+    // c2 = (a0+a2)(b0+b2) - t0 - t2 + t1
+    fp2_add(s, a.c0, a.c2);
+    fp2_add(u, b.c0, b.c2);
+    fp2_mul(m, s, u);
+    fp2_sub(m, m, t0);
+    fp2_sub(m, m, t2);
+    fp2_add(c2, m, t1);
+    o.c0 = c0;
+    o.c1 = c1;
+    o.c2 = c2;
+}
+static inline void fp6_mul_by_v(Fp6 &o, const Fp6 &a) {
+    Fp2 x;
+    fp2_mul_by_xi(x, a.c2);
+    Fp2 a0 = a.c0, a1 = a.c1;
+    o.c0 = x;
+    o.c1 = a0;
+    o.c2 = a1;
+}
+static void fp6_inv(Fp6 &o, const Fp6 &a) {
+    Fp2 c0, c1, c2, t, m, s;
+    fp2_sqr(c0, a.c0);
+    fp2_mul(m, a.c1, a.c2);
+    fp2_mul_by_xi(m, m);
+    fp2_sub(c0, c0, m);
+    fp2_sqr(c1, a.c2);
+    fp2_mul_by_xi(c1, c1);
+    fp2_mul(m, a.c0, a.c1);
+    fp2_sub(c1, c1, m);
+    fp2_sqr(c2, a.c1);
+    fp2_mul(m, a.c0, a.c2);
+    fp2_sub(c2, c2, m);
+    fp2_mul(t, a.c0, c0);
+    fp2_mul(m, a.c2, c1);
+    fp2_mul(s, a.c1, c2);
+    fp2_add(m, m, s);
+    fp2_mul_by_xi(m, m);
+    fp2_add(t, t, m);
+    Fp2 tinv;
+    fp2_inv(tinv, t);
+    fp2_mul(o.c0, c0, tinv);
+    fp2_mul(o.c1, c1, tinv);
+    fp2_mul(o.c2, c2, tinv);
+}
+
+static inline void fp12_add(Fp12 &o, const Fp12 &a, const Fp12 &b) {
+    fp6_add(o.c0, a.c0, b.c0);
+    fp6_add(o.c1, a.c1, b.c1);
+}
+static inline void fp12_sub(Fp12 &o, const Fp12 &a, const Fp12 &b) {
+    fp6_sub(o.c0, a.c0, b.c0);
+    fp6_sub(o.c1, a.c1, b.c1);
+}
+static void fp12_mul(Fp12 &o, const Fp12 &a, const Fp12 &b) {
+    Fp6 t0, t1, s, u, m, v1;
+    fp6_mul(t0, a.c0, b.c0);
+    fp6_mul(t1, a.c1, b.c1);
+    fp6_mul_by_v(v1, t1);
+    Fp6 c0, c1;
+    fp6_add(c0, t0, v1);
+    fp6_add(s, a.c0, a.c1);
+    fp6_add(u, b.c0, b.c1);
+    fp6_mul(m, s, u);
+    fp6_sub(m, m, t0);
+    fp6_sub(c1, m, t1);
+    o.c0 = c0;
+    o.c1 = c1;
+}
+static void fp12_sqr(Fp12 &o, const Fp12 &a) {
+    Fp6 t, s, u, m, vt;
+    fp6_mul(t, a.c0, a.c1);
+    fp6_add(s, a.c0, a.c1);
+    fp6_mul_by_v(u, a.c1);
+    fp6_add(u, a.c0, u);
+    fp6_mul(m, s, u);
+    fp6_sub(m, m, t);
+    fp6_mul_by_v(vt, t);
+    fp6_sub(o.c0, m, vt);
+    fp6_add(o.c1, t, t);
+}
+static void fp12_inv(Fp12 &o, const Fp12 &a) {
+    Fp6 s0, s1, d, t;
+    fp6_mul(s0, a.c0, a.c0);
+    fp6_mul(s1, a.c1, a.c1);
+    fp6_mul_by_v(s1, s1);
+    fp6_sub(d, s0, s1);
+    fp6_inv(t, d);
+    fp6_mul(o.c0, a.c0, t);
+    Fp6 m;
+    fp6_mul(m, a.c1, t);
+    fp6_neg(o.c1, m);
+}
+static inline void fp12_conj(Fp12 &o, const Fp12 &a) {
+    o.c0 = a.c0;
+    fp6_neg(o.c1, a.c1);
+}
+static bool fp12_is_one(const Fp12 &a) {
+    if (!fp2_eq(a.c0.c0, FP2_ONE_)) return false;
+    return fp2_is_zero(a.c0.c1) && fp2_is_zero(a.c0.c2) &&
+           fp2_is_zero(a.c1.c0) && fp2_is_zero(a.c1.c1) &&
+           fp2_is_zero(a.c1.c2);
+}
+
+// Frobenius: gamma_i = xi^(i(p-1)/6); a^p = sum conj(c_i) gamma^i w^i
+static Fp2 FROB_GAMMA[6];
+
+static void fp2_pow_words(Fp2 &o, const Fp2 &a, const u64 *e, int nwords) {
+    Fp2 result = FP2_ONE_, base = a;
+    for (int w = 0; w < nwords; w++) {
+        u64 bits = e[w];
+        for (int i = 0; i < 64; i++) {
+            if (bits & 1) fp2_mul(result, result, base);
+            fp2_sqr(base, base);
+            bits >>= 1;
+        }
+    }
+    o = result;
+}
+
+static void fp12_frobenius(Fp12 &o, const Fp12 &a) {
+    const Fp2 *cs[6] = {&a.c0.c0, &a.c1.c0, &a.c0.c1,
+                        &a.c1.c1, &a.c0.c2, &a.c1.c2};
+    Fp2 out[6];
+    for (int i = 0; i < 6; i++) {
+        Fp2 cj;
+        fp2_conj(cj, *cs[i]);
+        fp2_mul(out[i], cj, FROB_GAMMA[i]);
+    }
+    o.c0.c0 = out[0];
+    o.c0.c1 = out[2];
+    o.c0.c2 = out[4];
+    o.c1.c0 = out[1];
+    o.c1.c1 = out[3];
+    o.c1.c2 = out[5];
+}
+
+// ---------------------------------------------------------------------------
+// Miller loop (affine, Fp12-embedded; mirrors host/pairing.py)
+// ---------------------------------------------------------------------------
+
+struct G12 { Fp12 x, y; };  // affine point embedded in E(Fp12)
+
+static Fp12 W2_INV, W3_INV;  // w^-2, w^-3
+
+static void fp12_from_fp2(Fp12 &o, const Fp2 &a) {
+    o = Fp12();
+    memset(&o, 0, sizeof(o));
+    o.c0.c0 = a;
+}
+
+// line through T,T (tangent) or T,Q, evaluated at P; updates T
+static void line_double(Fp12 &val, G12 &t, const G12 &p, const Fp12 &three) {
+    Fp12 num, den, lam, x3, y3, m, s;
+    fp12_sqr(num, t.x);
+    fp12_mul(num, num, three);
+    fp12_add(den, t.y, t.y);
+    fp12_inv(den, den);
+    fp12_mul(lam, num, den);
+    fp12_sqr(x3, lam);
+    fp12_add(s, t.x, t.x);
+    fp12_sub(x3, x3, s);
+    fp12_sub(m, t.x, x3);
+    fp12_mul(y3, lam, m);
+    fp12_sub(y3, y3, t.y);
+    Fp12 v1, v2;
+    fp12_sub(v1, p.y, t.y);
+    fp12_sub(v2, p.x, t.x);
+    fp12_mul(v2, lam, v2);
+    fp12_sub(val, v1, v2);
+    t.x = x3;
+    t.y = y3;
+}
+
+static void line_add(Fp12 &val, G12 &t, const G12 &q, const G12 &p) {
+    Fp12 lam, num, den, x3, y3, m;
+    fp12_sub(num, q.y, t.y);
+    fp12_sub(den, q.x, t.x);
+    fp12_inv(den, den);
+    fp12_mul(lam, num, den);
+    fp12_sqr(x3, lam);
+    fp12_sub(x3, x3, t.x);
+    fp12_sub(x3, x3, q.x);
+    fp12_sub(m, t.x, x3);
+    fp12_mul(y3, lam, m);
+    fp12_sub(y3, y3, t.y);
+    Fp12 v1, v2;
+    fp12_sub(v1, p.y, t.y);
+    fp12_sub(v2, p.x, t.x);
+    fp12_mul(v2, lam, v2);
+    fp12_sub(val, v1, v2);
+    t.x = x3;
+    t.y = y3;
+}
+
+// |BLS_X| = 0xd201000000010000
+static const u64 LOOP = 0xd201000000010000ULL;
+
+static void miller_loop_batch(Fp12 &f, const G12 *ps, const G12 *qs, int n,
+                              const Fp12 &three) {
+    f = FP12_ONE_;
+    G12 ts[4];
+    for (int i = 0; i < n; i++) ts[i] = qs[i];
+    int msb = 63;
+    while (!((LOOP >> msb) & 1)) msb--;
+    for (int bit = msb - 1; bit >= 0; bit--) {
+        fp12_sqr(f, f);
+        for (int i = 0; i < n; i++) {
+            Fp12 val;
+            line_double(val, ts[i], ps[i], three);
+            fp12_mul(f, f, val);
+        }
+        if ((LOOP >> bit) & 1) {
+            for (int i = 0; i < n; i++) {
+                Fp12 val;
+                line_add(val, ts[i], qs[i], ps[i]);
+                fp12_mul(f, f, val);
+            }
+        }
+    }
+    Fp12 c;
+    fp12_conj(c, f);  // BLS x < 0
+    f = c;
+}
+
+// hard exponent (p^4 - p^2 + 1) / r: 2539 bits, 40 x u64 words
+static u64 HARD_EXP[40];
+static int HARD_WORDS = 0;
+
+static void fp12_pow_words(Fp12 &o, const Fp12 &a, const u64 *e, int nwords) {
+    Fp12 result = FP12_ONE_, base = a;
+    for (int w = 0; w < nwords; w++) {
+        u64 bits = e[w];
+        for (int i = 0; i < 64; i++) {
+            if (bits & 1) fp12_mul(result, result, base);
+            fp12_sqr(base, base);
+            bits >>= 1;
+        }
+    }
+    o = result;
+}
+
+// a^x for the (negative) BLS parameter x = -|x|, valid in the cyclotomic
+// subgroup where inversion is conjugation (post-easy-part only).
+static void exp_by_x(Fp12 &o, const Fp12 &a) {
+    Fp12 res = FP12_ONE_, base = a;
+    u64 bits = LOOP;
+    while (bits) {
+        if (bits & 1) fp12_mul(res, res, base);
+        fp12_sqr(base, base);
+        bits >>= 1;
+    }
+    fp12_conj(o, res);
+}
+
+static void final_exponentiation(Fp12 &o, const Fp12 &f) {
+    // easy part: m = f^((p^6-1)(p^2+1))
+    Fp12 c, inv, m, fr;
+    fp12_conj(c, f);
+    fp12_inv(inv, f);
+    fp12_mul(m, c, inv);  // f^(p^6 - 1)
+    fp12_frobenius(fr, m);
+    fp12_frobenius(fr, fr);  // ^(p^2)
+    fp12_mul(m, fr, m);      // ^(p^2 + 1)
+
+    // hard part via the exponent 3d (Hayashida-Hayasaka-Teruya):
+    //   3 (p^4 - p^2 + 1)/r = (x-1)^2 (x+p) (x^2 + p^2 - 1) + 3.
+    // m^(3d) == 1  <=>  m^d == 1 (gcd(3, r) = 1, r prime), and the C API
+    // only exposes the ==1 check. ~5 x-powers instead of a 2539-bit
+    // exponentiation.
+    Fp12 t, a, b, s, tmp1, tmp2;
+    fp12_conj(tmp1, m);                       // m^-1 (cyclotomic)
+    exp_by_x(t, m);
+    fp12_mul(t, t, tmp1);                     // m^(x-1)
+    fp12_conj(tmp1, t);
+    exp_by_x(a, t);
+    fp12_mul(a, a, tmp1);                     // m^((x-1)^2)
+    exp_by_x(tmp1, a);
+    fp12_frobenius(tmp2, a);
+    fp12_mul(b, tmp1, tmp2);                  // ^(x+p)
+    exp_by_x(tmp1, b);
+    exp_by_x(tmp1, tmp1);                     // b^(x^2)
+    fp12_frobenius(tmp2, b);
+    fp12_frobenius(tmp2, tmp2);               // b^(p^2)
+    fp12_mul(s, tmp1, tmp2);
+    fp12_conj(tmp2, b);
+    fp12_mul(s, s, tmp2);                     // ^(x^2 + p^2 - 1)
+    fp12_sqr(tmp1, m);
+    fp12_mul(tmp1, tmp1, m);                  // m^3
+    fp12_mul(o, s, tmp1);
+}
+
+// exact-exponent variant (m^d), kept for oracle-value parity/debugging
+static void final_exponentiation_exact(Fp12 &o, const Fp12 &f) {
+    Fp12 c, inv, t, fr;
+    fp12_conj(c, f);
+    fp12_inv(inv, f);
+    fp12_mul(t, c, inv);
+    fp12_frobenius(fr, t);
+    fp12_frobenius(fr, fr);
+    fp12_mul(t, fr, t);
+    fp12_pow_words(o, t, HARD_EXP, HARD_WORDS);
+}
+
+// ---------------------------------------------------------------------------
+// G1 (Fp) / G2 (Fp2) Jacobian scalar mul for subgroup checks
+// ---------------------------------------------------------------------------
+
+template <typename F>
+struct FieldVt {
+    void (*add)(F &, const F &, const F &);
+    void (*sub)(F &, const F &, const F &);
+    void (*mul)(F &, const F &, const F &);
+    void (*sqr)(F &, const F &);
+    bool (*is_zero)(const F &);
+};
+
+template <typename F>
+struct Jac { F x, y, z; bool inf; };
+
+template <typename F>
+static void jac_double(const FieldVt<F> &f, Jac<F> &o, const Jac<F> &p) {
+    if (p.inf) { o = p; return; }
+    F xx, yy, yyyy, zz, s, m, t, y8, tmp, a;
+    f.sqr(xx, p.x);
+    f.sqr(yy, p.y);
+    f.sqr(yyyy, yy);
+    f.sqr(zz, p.z);
+    f.add(a, p.x, yy);
+    f.sqr(s, a);
+    f.sub(s, s, xx);
+    f.sub(s, s, yyyy);
+    f.add(s, s, s);
+    f.add(m, xx, xx);
+    f.add(m, m, xx);
+    f.sqr(t, m);
+    f.add(tmp, s, s);
+    f.sub(t, t, tmp);
+    f.add(y8, yyyy, yyyy);
+    f.add(y8, y8, y8);
+    f.add(y8, y8, y8);
+    F y3, z3;
+    f.sub(tmp, s, t);
+    f.mul(y3, m, tmp);
+    f.sub(y3, y3, y8);
+    f.add(a, p.y, p.z);
+    f.sqr(z3, a);
+    f.sub(z3, z3, yy);
+    f.sub(z3, z3, zz);
+    o.x = t;
+    o.y = y3;
+    o.z = z3;
+    o.inf = f.is_zero(z3);
+}
+
+template <typename F>
+static void jac_add(const FieldVt<F> &f, Jac<F> &o, const Jac<F> &p,
+                    const Jac<F> &q) {
+    if (p.inf) { o = q; return; }
+    if (q.inf) { o = p; return; }
+    F z1z1, z2z2, u1, u2, s1, s2, h, r, tmp;
+    f.sqr(z1z1, p.z);
+    f.sqr(z2z2, q.z);
+    f.mul(u1, p.x, z2z2);
+    f.mul(u2, q.x, z1z1);
+    f.mul(tmp, p.y, q.z);
+    f.mul(s1, tmp, z2z2);
+    f.mul(tmp, q.y, p.z);
+    f.mul(s2, tmp, z1z1);
+    f.sub(h, u2, u1);
+    f.sub(r, s2, s1);
+    if (f.is_zero(h)) {
+        if (f.is_zero(r)) { jac_double(f, o, p); return; }
+        o.inf = true;
+        memset(&o.x, 0, sizeof(o.x));
+        memset(&o.y, 0, sizeof(o.y));
+        memset(&o.z, 0, sizeof(o.z));
+        return;
+    }
+    F hh, i, j, r2, v, x3, y3, z3;
+    f.sqr(hh, h);
+    f.add(i, hh, hh);
+    f.add(i, i, i);
+    f.mul(j, h, i);
+    f.add(r2, r, r);
+    f.mul(v, u1, i);
+    f.sqr(x3, r2);
+    f.sub(x3, x3, j);
+    f.add(tmp, v, v);
+    f.sub(x3, x3, tmp);
+    f.sub(tmp, v, x3);
+    f.mul(y3, r2, tmp);
+    f.mul(tmp, s1, j);
+    f.add(tmp, tmp, tmp);
+    f.sub(y3, y3, tmp);
+    f.add(tmp, p.z, q.z);
+    f.sqr(z3, tmp);
+    f.sub(z3, z3, z1z1);
+    f.sub(z3, z3, z2z2);
+    f.mul(z3, z3, h);
+    o.x = x3;
+    o.y = y3;
+    o.z = z3;
+    o.inf = f.is_zero(z3);
+}
+
+// r (subgroup order), big-endian bit scan
+static const u64 R_ORDER[4] = {
+    0xffffffff00000001ULL, 0x53bda402fffe5bfeULL,
+    0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL};
+
+template <typename F>
+static void jac_scalar_mul(const FieldVt<F> &f, Jac<F> &o, const Jac<F> &p,
+                           const u64 *k, int nwords) {
+    Jac<F> acc;
+    acc.inf = true;
+    memset(&acc.x, 0, sizeof(acc.x));
+    memset(&acc.y, 0, sizeof(acc.y));
+    memset(&acc.z, 0, sizeof(acc.z));
+    Jac<F> base = p;
+    for (int w = 0; w < nwords; w++) {
+        u64 bits = k[w];
+        for (int i = 0; i < 64; i++) {
+            if (bits & 1) jac_add(f, acc, acc, base);
+            jac_double(f, base, base);
+            bits >>= 1;
+        }
+    }
+    o = acc;
+}
+
+static bool fp_is_zero_w(const Fp &a) { return fp_is_zero(a); }
+static bool fp2_is_zero_w(const Fp2 &a) { return fp2_is_zero(a); }
+
+static FieldVt<Fp> FP_VT = {fp_add, fp_sub, fp_mul, fp_sqr, fp_is_zero_w};
+static FieldVt<Fp2> FP2_VT = {fp2_add, fp2_sub, fp2_mul, fp2_sqr,
+                              fp2_is_zero_w};
+
+// ---------------------------------------------------------------------------
+// init + public C API
+// ---------------------------------------------------------------------------
+
+static Fp12 THREE12;
+static bool INITIALIZED = false;
+
+static void set_hard_exp() {
+    // (p^4 - p^2 + 1) / r, provided as a little-endian u64 table computed
+    // by scripts/gen_native_constants.py from the public parameters.
+    static const u64 words[] = {
+        #include "hard_exp.inc"
+    };
+    HARD_WORDS = (int)(sizeof(words) / sizeof(words[0]));
+    for (int i = 0; i < HARD_WORDS; i++) HARD_EXP[i] = words[i];
+}
+
+extern "C" int lw_init(void) {
+    if (INITIALIZED) return 0;
+    memset(&FP_ZERO, 0, sizeof(FP_ZERO));
+    // N0INV = -N^{-1} mod 2^64 (Newton)
+    u64 x = 1;
+    for (int i = 0; i < 6; i++) x *= 2 - N[0] * x;
+    N0INV = (u64)(0 - x);
+    // FP_ONE = 2^384 mod N, FP_R2 = 2^768 mod N via doubling
+    Fp r = {{1, 0, 0, 0, 0, 0}};
+    for (int i = 0; i < 384; i++) fp_add(r, r, r);
+    FP_ONE = r;
+    for (int i = 0; i < 384; i++) fp_add(r, r, r);
+    FP_R2 = r;
+
+    memset(&FP2_ZERO_, 0, sizeof(FP2_ZERO_));
+    FP2_ONE_.c0 = FP_ONE;
+    memset(&FP2_ONE_.c1, 0, sizeof(Fp));
+    memset(&FP6_ZERO_, 0, sizeof(FP6_ZERO_));
+    memset(&FP6_ONE_, 0, sizeof(FP6_ONE_));
+    FP6_ONE_.c0 = FP2_ONE_;
+    memset(&FP12_ONE_, 0, sizeof(FP12_ONE_));
+    FP12_ONE_.c0 = FP6_ONE_;
+
+    // Frobenius gammas: xi^((p-1)/6) powers; (p-1)/6 fits 6 u64 words
+    static const u64 pm1_over6[6] = {
+        0x9eaaaaaaaaaac71cULL, 0x5a71ffffc8e33555ULL, 0x913378C5291E7D0BULL,
+        0x9618E1F34A62631FULL, 0x61D9F13E5B87C779ULL, 0x0455830516994519ULL};
+    // recompute exactly instead: (P-1)/6 derived at init from N
+    u64 pm1[6];
+    {
+        u128 borrow = 0;
+        for (int i = 0; i < 6; i++) {
+            u128 d = (u128)N[i] - (i == 0 ? 1 : 0) - borrow;
+            pm1[i] = (u64)d;
+            borrow = (d >> 64) & 1;
+        }
+        // divide by 6
+        u128 rem = 0;
+        u64 q[6];
+        for (int i = 5; i >= 0; i--) {
+            u128 cur = (rem << 64) | pm1[i];
+            q[i] = (u64)(cur / 6);
+            rem = cur % 6;
+        }
+        for (int i = 0; i < 6; i++) pm1[i] = q[i];
+    }
+    (void)pm1_over6;
+    Fp2 xi;
+    xi.c0 = FP_ONE;
+    xi.c1 = FP_ONE;
+    Fp2 base;
+    fp2_pow_words(base, xi, pm1, 6);
+    Fp2 acc = FP2_ONE_;
+    for (int i = 0; i < 6; i++) {
+        FROB_GAMMA[i] = acc;
+        fp2_mul(acc, acc, base);
+    }
+
+    // w^-2, w^-3 where w = (0; 1, 0, 0)
+    Fp12 w;
+    memset(&w, 0, sizeof(w));
+    w.c1.c0 = FP2_ONE_;
+    Fp12 winv, w2inv;
+    fp12_inv(winv, w);
+    fp12_sqr(w2inv, winv);
+    W2_INV = w2inv;
+    fp12_mul(W3_INV, w2inv, winv);
+
+    // constant 3 embedded in Fp12
+    Fp three;
+    fp_add(three, FP_ONE, FP_ONE);
+    fp_add(three, three, FP_ONE);
+    memset(&THREE12, 0, sizeof(THREE12));
+    THREE12.c0.c0.c0 = three;
+
+    set_hard_exp();
+    INITIALIZED = true;
+    return 0;
+}
+
+// parse affine G1 (96B BE x||y) / G2 (192B BE x0||x1||y0||y1)
+static void g12_from_g1(G12 &o, const uint8_t *p96) {
+    Fp x, y;
+    fp_from_be(x, p96);
+    fp_from_be(y, p96 + 48);
+    memset(&o, 0, sizeof(o));
+    o.x.c0.c0.c0 = x;
+    o.y.c0.c0.c0 = y;
+}
+
+static void g12_from_g2(G12 &o, const uint8_t *q192) {
+    Fp2 x, y;
+    fp_from_be(x.c0, q192);
+    fp_from_be(x.c1, q192 + 48);
+    fp_from_be(y.c0, q192 + 96);
+    fp_from_be(y.c1, q192 + 144);
+    Fp12 ex, ey;
+    fp12_from_fp2(ex, x);
+    fp12_from_fp2(ey, y);
+    fp12_mul(o.x, ex, W2_INV);
+    fp12_mul(o.y, ey, W3_INV);
+}
+
+extern "C" int lw_pairings_verify(const uint8_t *a1, int a1_inf,
+                                  const uint8_t *a2, int a2_inf,
+                                  const uint8_t *b1, int b1_inf,
+                                  const uint8_t *b2, int b2_inf) {
+    if (!INITIALIZED) lw_init();
+    G12 ps[2], qs[2];
+    int n = 0;
+    if (!a1_inf && !a2_inf) {
+        g12_from_g1(ps[n], a1);
+        // negate a1: y -> -y
+        Fp y = ps[n].y.c0.c0.c0, ny;
+        fp_neg(ny, y);
+        ps[n].y.c0.c0.c0 = ny;
+        g12_from_g2(qs[n], a2);
+        n++;
+    }
+    if (!b1_inf && !b2_inf) {
+        g12_from_g1(ps[n], b1);
+        g12_from_g2(qs[n], b2);
+        n++;
+    }
+    if (n == 0) return 1;
+    Fp12 f, out;
+    miller_loop_batch(f, ps, qs, n, THREE12);
+    final_exponentiation(out, f);
+    return fp12_is_one(out) ? 1 : 0;
+}
+
+extern "C" int lw_pairings_verify_exact(const uint8_t *a1, int a1_inf,
+                                        const uint8_t *a2, int a2_inf,
+                                        const uint8_t *b1, int b1_inf,
+                                        const uint8_t *b2, int b2_inf) {
+    // exact-exponent variant: the GT value equals the Python oracle's
+    if (!INITIALIZED) lw_init();
+    G12 ps[2], qs[2];
+    int n = 0;
+    if (!a1_inf && !a2_inf) {
+        g12_from_g1(ps[n], a1);
+        Fp ny;
+        fp_neg(ny, ps[n].y.c0.c0.c0);
+        ps[n].y.c0.c0.c0 = ny;
+        g12_from_g2(qs[n], a2);
+        n++;
+    }
+    if (!b1_inf && !b2_inf) {
+        g12_from_g1(ps[n], b1);
+        g12_from_g2(qs[n], b2);
+        n++;
+    }
+    if (n == 0) return 1;
+    Fp12 f, out;
+    miller_loop_batch(f, ps, qs, n, THREE12);
+    final_exponentiation_exact(out, f);
+    return fp12_is_one(out) ? 1 : 0;
+}
+
+extern "C" int lw_g1_in_subgroup(const uint8_t *p96) {
+    if (!INITIALIZED) lw_init();
+    Jac<Fp> p, out;
+    fp_from_be(p.x, p96);
+    fp_from_be(p.y, p96 + 48);
+    p.z = FP_ONE;
+    p.inf = false;
+    jac_scalar_mul(FP_VT, out, p, R_ORDER, 4);
+    return out.inf ? 1 : 0;
+}
+
+extern "C" int lw_g2_in_subgroup(const uint8_t *q192) {
+    if (!INITIALIZED) lw_init();
+    Jac<Fp2> q, out;
+    fp_from_be(q.x.c0, q192);
+    fp_from_be(q.x.c1, q192 + 48);
+    fp_from_be(q.y.c0, q192 + 96);
+    fp_from_be(q.y.c1, q192 + 144);
+    q.z = FP2_ONE_;
+    q.inf = false;
+    jac_scalar_mul(FP2_VT, out, q, R_ORDER, 4);
+    return out.inf ? 1 : 0;
+}
+
+static void fp2_inv_full(Fp2 &o, const Fp2 &a) { fp2_inv(o, a); }
+
+extern "C" int lw_g2_scalar_mul(const uint8_t *q192, const uint8_t *k32_be,
+                                uint8_t *out192) {
+    if (!INITIALIZED) lw_init();
+    Jac<Fp2> q, out;
+    fp_from_be(q.x.c0, q192);
+    fp_from_be(q.x.c1, q192 + 48);
+    fp_from_be(q.y.c0, q192 + 96);
+    fp_from_be(q.y.c1, q192 + 144);
+    q.z = FP2_ONE_;
+    q.inf = false;
+    u64 k[4];
+    for (int i = 0; i < 4; i++) {
+        u64 v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | k32_be[(3 - i) * 8 + j];
+        k[i] = v;
+    }
+    jac_scalar_mul(FP2_VT, out, q, k, 4);
+    if (out.inf) return 1;
+    Fp2 zinv, z2, z3, ax, ay;
+    fp2_inv_full(zinv, out.z);
+    fp2_sqr(z2, zinv);
+    fp2_mul(z3, z2, zinv);
+    fp2_mul(ax, out.x, z2);
+    fp2_mul(ay, out.y, z3);
+    fp_to_be(out192, ax.c0);
+    fp_to_be(out192 + 48, ax.c1);
+    fp_to_be(out192 + 96, ay.c0);
+    fp_to_be(out192 + 144, ay.c1);
+    return 0;
+}
+
+extern "C" int lw_g1_scalar_mul(const uint8_t *p96, const uint8_t *k32_be,
+                                uint8_t *out96) {
+    if (!INITIALIZED) lw_init();
+    Jac<Fp> p, out;
+    fp_from_be(p.x, p96);
+    fp_from_be(p.y, p96 + 48);
+    p.z = FP_ONE;
+    p.inf = false;
+    u64 k[4];
+    for (int i = 0; i < 4; i++) {
+        u64 v = 0;
+        for (int j = 0; j < 8; j++) v = (v << 8) | k32_be[(3 - i) * 8 + j];
+        k[i] = v;
+    }
+    jac_scalar_mul(FP_VT, out, p, k, 4);
+    if (out.inf) return 1;
+    // to affine: x/z^2, y/z^3
+    Fp zinv, z2, z3, ax, ay;
+    fp_inv(zinv, out.z);
+    fp_sqr(z2, zinv);
+    fp_mul(z3, z2, zinv);
+    fp_mul(ax, out.x, z2);
+    fp_mul(ay, out.y, z3);
+    fp_to_be(out96, ax);
+    fp_to_be(out96 + 48, ay);
+    return 0;
+}
