@@ -89,6 +89,17 @@ class EIP4844Context:
         evals = _check_blob(blob, self.n)
         return C.compress_g1(self.kzg.commit(evals))
 
+    def blob_to_kzg_commitment_batch(self, blobs: Sequence[bytes]) -> List[bytes]:
+        """Batched commitments (not in the reference's 7-function surface;
+        the serving-throughput API — MSMs pipeline on device)."""
+        fast = getattr(self.kzg.backend, "commit_blobs", None)
+        if fast is not None:
+            try:
+                return [C.compress_g1(pt) for pt in fast([bytes(b) for b in blobs])]
+            except ValueError as e:
+                raise KZGError(str(e)) from e
+        return [self.blob_to_kzg_commitment(b) for b in blobs]
+
     def compute_kzg_proof(self, blob: bytes, z_bytes: bytes) -> Tuple[bytes, bytes]:
         evals = _check_blob(blob, self.n)
         z = _check_fr(z_bytes, "z")

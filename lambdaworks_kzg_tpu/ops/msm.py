@@ -77,6 +77,17 @@ def bucket_accumulate(
     # route invalid points and zero digits to bucket 0 (ignored later)
     digits = jnp.where(valid[None, :], digits, 0)
 
+    if _top_window_split(c):
+        # Fr scalars are < 2^255, so when c | 256 the top window's digits
+        # are < 2^(c-1): only half its buckets can be occupied, doubling
+        # their load — and the lockstep loop runs max-bucket-load times.
+        # Route alternating points into the free upper half (aliases,
+        # merged back in bucket_reduce), halving the top window's max.
+        half = jnp.uint32(1 << (c - 1))
+        parity = (jnp.arange(n, dtype=jnp.uint32) & 1) * half
+        top = digits[-1]
+        digits = digits.at[-1].set(jnp.where(top != 0, top + parity, 0))
+
     order = jnp.argsort(digits, axis=1)  # [W, N]
     sorted_digits = jnp.take_along_axis(digits, order, axis=1)
 
@@ -95,13 +106,19 @@ def bucket_accumulate(
     buckets0 = g1.infinity_like((), m_total)
     live_bucket = (bucket_ids != 0)[None, :]  # [1, 2^c]
 
+    # Point-major copy for the per-iteration gather: rows of 2*L
+    # contiguous words instead of N-strided single words — the
+    # minor-dim gather was as expensive as the madd itself at 2^20.
+    points_rowmajor = jnp.transpose(points, (2, 0, 1))  # [N, 2, L]
+
     def body(carry):
         t, buckets = carry
         idx = starts + t  # [W, 2^c]
         live = jnp.logical_and(idx < ends, live_bucket)
         idx_c = jnp.minimum(idx, n - 1)
         pt_idx = jnp.take_along_axis(order, idx_c, axis=1)  # [W, 2^c]
-        gathered = jnp.take(points, pt_idx.reshape(-1), axis=-1)  # [2, L, M]
+        rows = jnp.take(points_rowmajor, pt_idx.reshape(-1), axis=0)
+        gathered = jnp.transpose(rows, (1, 2, 0))  # [2, L, M]
         buckets = _madd(buckets, gathered, live.reshape(-1))
         return (t + 1, buckets)
 
@@ -129,6 +146,13 @@ def _flat(arr4: jnp.ndarray) -> jnp.ndarray:
     return arr4.reshape(s[:-2] + (s[-2] * s[-1],))
 
 
+def _top_window_split(c: int) -> bool:
+    """Whether bucket_accumulate aliases the top window's load into its
+    unoccupied upper bucket half (see bucket_accumulate); bucket_reduce
+    must merge the aliases back."""
+    return 256 % c == 0
+
+
 def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
     """[3, L, M] buckets -> [3, L, W] window sums S_w = sum_b b*B_b.
 
@@ -148,6 +172,17 @@ def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
     # neutralize bucket-0 lanes (invalid points route there; weight 0)
     arr = jnp.where((b_idx == 0)[None, None, :], 0, buckets)
     arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
+
+    if _top_window_split(c):
+        # merge the top window's alias lanes (bucket b's second copy
+        # lives at lane b + 2^(c-1); see bucket_accumulate)
+        half = num_buckets // 2
+        top = arr4[..., -1:, :]
+        lo = top[..., :half]
+        hi = top[..., half:]
+        merged = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
+        top = jnp.concatenate([merged, jnp.zeros_like(hi)], axis=-1)
+        arr4 = jnp.concatenate([arr4[..., :-1, :], top], axis=-2)
 
     totals = []  # E_r = sum of the high half at round r
     h = num_buckets // 2

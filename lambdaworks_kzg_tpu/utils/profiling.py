@@ -28,6 +28,22 @@ def time_pipelined(fn: Callable[[], object], iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def time_chained(step: Callable, x0, iters: int = 64) -> float:
+    """Seconds per application of `step`, measured as one jitted
+    fori_loop of data-dependent applications — immune to the dispatch
+    RTT of a tunnel-attached chip (the honest in-loop kernel cost)."""
+    import jax.lax as lax
+
+    @jax.jit
+    def run(x):
+        return lax.fori_loop(0, iters, lambda i, v: step(v), x)
+
+    jax.block_until_ready(run(x0))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(x0))
+    return (time.perf_counter() - t0) / iters
+
+
 @dataclass
 class KernelStat:
     name: str
@@ -91,20 +107,20 @@ def collect_kernel_stats(lanes: int = 8192) -> List[KernelStat]:
         KernelStat(
             "g1_madd (Jacobian+affine)",
             lanes,
-            time_pipelined(lambda: D.madd(p, aff_b, valid_b)),
+            time_chained(lambda v: D.madd(v, aff_b, valid_b), p),
             13.0,
         ),
         KernelStat(
             "g1_add (Jacobian+Jacobian)",
             lanes,
-            time_pipelined(lambda: D.add(p, q)),
+            time_chained(lambda v: D.add(v, q), p),
             17.0,
         ),
-        KernelStat("g1_dbl", lanes, time_pipelined(lambda: D.dbl(p)), 9.0),
+        KernelStat("g1_dbl", lanes, time_chained(D.dbl, p), 9.0),
         KernelStat(
             "fp_mul (XLA tier)",
             lanes,
-            time_pipelined(lambda: FP.mul(p[0], q[0])),
+            time_chained(lambda v: FP.mul(v, q[0]), p[0]),
             1.0,
         ),
     ]
