@@ -94,8 +94,33 @@ def main():
 
     assert HC.compress_g1(host_pt) == commitment, "device/host mismatch"
 
-    # -- MSM points/sec at 2^12 and 2^20 (device kernel, warm) ---------------
+    # -- verify paths (native pairing + device batch pipeline) ---------------
     extras = {}
+    if os.environ.get("BENCH_SKIP_VERIFY") != "1":
+        proof = ctx.compute_blob_kzg_proof(blobs[0], commitment)
+        assert ctx.verify_blob_kzg_proof(blobs[0], commitment, proof)
+        extras["verify_blob_ms"] = round(
+            _time_best(
+                lambda: ctx.verify_blob_kzg_proof(blobs[0], commitment, proof),
+                3,
+            )
+            * 1e3,
+            1,
+        )
+        vb = [_rand_blob(setup.n, rng) for _ in range(16)]
+        vcs = ctx.blob_to_kzg_commitment_batch(vb)
+        vps = [ctx.compute_blob_kzg_proof(b, c) for b, c in zip(vb, vcs)]
+        assert ctx.verify_blob_kzg_proof_batch(vb, vcs, vps)
+        extras["batch16_verify_ms_per_blob"] = round(
+            _time_best(
+                lambda: ctx.verify_blob_kzg_proof_batch(vb, vcs, vps), 2
+            )
+            / 16
+            * 1e3,
+            2,
+        )
+
+    # -- MSM points/sec at 2^12 and 2^20 (device kernel, warm) ---------------
     points, valid = backend.points, backend.valid
     scalars = jnp.asarray(codec.blob_to_limbs(blobs[1], setup.n))
     run = lambda: jax.block_until_ready(

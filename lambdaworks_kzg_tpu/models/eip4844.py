@@ -101,17 +101,61 @@ class EIP4844Context:
         return [self.blob_to_kzg_commitment(b) for b in blobs]
 
     def compute_kzg_proof(self, blob: bytes, z_bytes: bytes) -> Tuple[bytes, bytes]:
-        evals = _check_blob(blob, self.n)
         z = _check_fr(z_bytes, "z")
-        proof, y = self.kzg.open(evals, z)
+        proof, y = self._open(blob, z)
         return C.compress_g1(proof), H.bls_field_to_bytes(y)
 
     def compute_blob_kzg_proof(self, blob: bytes, commitment_bytes: bytes) -> bytes:
-        evals = _check_blob(blob, self.n)
+        self._check_blob_size(blob)
         _check_g1(commitment_bytes, "commitment")  # fail fast, lib.rs:373
         z = H.compute_challenge(blob, bytes(commitment_bytes), self.n)
-        proof, _y = self.kzg.open(evals, z)
+        proof, _y = self._open(blob, z)
         return C.compress_g1(proof)
+
+    def _check_blob_size(self, blob: bytes) -> None:
+        if len(blob) != self.n * BYTES_PER_FIELD_ELEMENT:
+            raise KZGError(
+                f"blob must be {self.n * BYTES_PER_FIELD_ELEMENT} bytes"
+            )
+
+    def _open(self, blob: bytes, z: int):
+        """kzg.open via the backend's blob-native path when available."""
+        fast = getattr(self.kzg.backend, "open_blob", None)
+        if fast is not None:
+            try:
+                return fast(bytes(blob), z)
+            except ValueError as e:
+                raise KZGError(str(e)) from e
+        return self.kzg.open(_check_blob(blob, self.n), z)
+
+    def _evaluate(self, blob: bytes, z: int) -> int:
+        from .. import native
+
+        if native.available():
+            # host-side C++ barycentric: latency-bound single evaluation,
+            # no device round-trip
+            try:
+                return native.blob_eval(bytes(blob), self._roots_le, self.n, z)
+            except ValueError as e:
+                raise KZGError(str(e)) from e
+        fast = getattr(self.kzg.backend, "evaluate_blob", None)
+        if fast is not None:
+            try:
+                return fast(bytes(blob), z)
+            except ValueError as e:
+                raise KZGError(str(e)) from e
+        return self.kzg.evaluate(_check_blob(blob, self.n), z)
+
+    @property
+    def _roots_le(self) -> bytes:
+        if not hasattr(self, "_roots_le_cache"):
+            from ..host import fft as FFT
+
+            roots = FFT.bit_reversal_permutation(FFT.fr_roots_of_unity(self.n))
+            self._roots_le_cache = b"".join(
+                w.to_bytes(32, "little") for w in roots
+            )
+        return self._roots_le_cache
 
     def verify_kzg_proof(
         self, commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes, proof_bytes: bytes
@@ -125,11 +169,11 @@ class EIP4844Context:
     def verify_blob_kzg_proof(
         self, blob: bytes, commitment_bytes: bytes, proof_bytes: bytes
     ) -> bool:
-        evals = _check_blob(blob, self.n)
+        self._check_blob_size(blob)
         commitment = _check_g1(commitment_bytes, "commitment")
         proof = _check_g1(proof_bytes, "proof")
         z = H.compute_challenge(blob, bytes(commitment_bytes), self.n)
-        y = self.kzg.evaluate(evals, z)
+        y = self._evaluate(blob, z)
         return self.kzg.verify(commitment, z, y, proof)
 
     def verify_blob_kzg_proof_batch(
@@ -147,6 +191,30 @@ class EIP4844Context:
             return self.verify_blob_kzg_proof(
                 blobs[0], commitment_bytes_list[0], proof_bytes_list[0]
             )
+        backend = self.kzg.backend
+        if hasattr(backend, "evaluate_blobs"):
+            # device pipeline: ONE batched decompress+subgroup pass for all
+            # 2n points and ONE batched barycentric evaluation — the
+            # reference loops items sequentially (src/lib.rs:562-596)
+            blobs_b = [bytes(b) for b in blobs]
+            for b in blobs_b:
+                self._check_blob_size(b)
+            c_list = [bytes(c) for c in commitment_bytes_list]
+            p_list = [bytes(p) for p in proof_bytes_list]
+            if any(len(x) != 48 for x in c_list + p_list):
+                raise KZGError("commitments and proofs must be 48 bytes")
+            try:
+                pts = backend.decompress_g1_batch(c_list + p_list)
+                commitments, proofs = pts[:n], pts[n:]
+                zs = [
+                    H.compute_challenge(blob, cb, self.n)
+                    for blob, cb in zip(blobs_b, c_list)
+                ]
+                ys = backend.evaluate_blobs(blobs_b, zs)
+            except ValueError as e:
+                raise KZGError(str(e)) from e
+            r_powers = H.compute_r_powers(c_list, zs, ys, p_list, self.n)
+            return self.kzg.verify_batch(commitments, zs, ys, proofs, r_powers)
         commitments, zs, ys, proofs = [], [], [], []
         for blob, c_bytes, p_bytes in zip(
             blobs, commitment_bytes_list, proof_bytes_list

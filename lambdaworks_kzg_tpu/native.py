@@ -42,6 +42,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lw_g2_in_subgroup.restype = ctypes.c_int
         lib.lw_g1_scalar_mul.restype = ctypes.c_int
         lib.lw_g2_scalar_mul.restype = ctypes.c_int
+        lib.lw_blob_eval.restype = ctypes.c_int
         if lib.lw_init() != 0:
             return None
         _lib = lib
@@ -110,6 +111,30 @@ def g2_scalar_mul_affine(aff, k: int):
         return None
     v = [int.from_bytes(out.raw[i * 48 : (i + 1) * 48], "big") for i in range(4)]
     return ((v[0], v[1]), (v[2], v[3]))
+
+
+def blob_eval(blob: bytes, roots_brp_le: bytes, n: int, z: int) -> int:
+    """Barycentric p(z) for an evaluation-form blob (host, no device RTT).
+
+    roots_brp_le: the brp-ordered domain as n x 32-byte little-endian.
+    Raises ValueError on a non-canonical blob element."""
+    lib = _load()
+    assert lib is not None
+    from .constants import R
+
+    out = ctypes.create_string_buffer(32)
+    rc = lib.lw_blob_eval(
+        blob,
+        roots_brp_le,
+        ctypes.c_size_t(n),
+        (z % R).to_bytes(32, "little"),
+        out,
+    )
+    if rc == 2:
+        raise ValueError("non-canonical field element in blob (>= r)")
+    if rc != 0:
+        raise ValueError(f"blob_eval failed ({rc})")
+    return int.from_bytes(out.raw[:32], "little")
 
 
 def g1_scalar_mul_affine(aff, k: int):

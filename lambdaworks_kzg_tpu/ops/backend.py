@@ -14,7 +14,7 @@ import numpy as np
 
 from ..constants import R
 from ..host import curve as HC
-from . import fr_poly, g1_ops, msm
+from . import fr_poly, g1_ops, limbs as lb, msm
 from .field_ops import FR
 
 
@@ -111,9 +111,69 @@ class DeviceBackend:
 
         return lb.limbs_to_ints(np.asarray(q_plain))
 
+    def evaluate_blobs(self, blobs, zs) -> List[int]:
+        """Batched barycentric evaluation straight from blob bytes."""
+        import numpy as np
+
+        from . import codec
+
+        plain = np.stack(
+            [codec.blob_to_limbs(bytes(b), self.n) for b in blobs]
+        )
+        return self.domain.evaluate_blobs_plain(plain, list(zs))
+
+    def decompress_g1_batch(self, compressed) -> List[object]:
+        """Batched device decompression+subgroup check -> host Jacobians.
+
+        Raises ValueError naming the first bad index."""
+        import numpy as np
+
+        from . import g1_batch
+
+        pts_aff, is_inf, err = g1_batch.decompress_batch(list(compressed))
+        if err.any():
+            raise ValueError(f"bad G1 point at index {int(np.argmax(err))}")
+        valid = ~np.asarray(is_inf)
+        jac = g1_batch.lift_affine(pts_aff, valid)
+        return g1_ops.points_to_host(jac)
+
     def open(self, evals: Sequence[int], z: int):
         """(proof point, y) with the quotient staying on-device end-to-end."""
         y = self.evaluate(evals, z)
         q_plain = self.domain.quotient_plain_device(list(evals), z % R, y)
         proof = msm.msm(self.points, self.valid, q_plain, c=self.c)
+        return proof, y
+
+    # -- blob-native fast paths (no per-element Python conversions) ---------
+    def evaluate_blob(self, blob: bytes, z: int) -> int:
+        return self.evaluate_blobs([blob], [z])[0]
+
+    def open_blob(self, blob: bytes, z: int):
+        """(proof point, y) straight from blob bytes: codec limbs ->
+        device Montgomery -> barycentric + quotient + MSM; the per-call
+        Python int/limb loops of the generic path disappear."""
+        from ..constants import R as _R
+        from . import codec
+
+        z %= _R
+        plain = codec.blob_to_limbs(bytes(blob), self.n)
+        evals_m = FR.to_mont(jnp.asarray(plain))
+        idx = self.domain.root_index.get(z)
+        if idx is not None:
+            y_m = None
+            y = lb.limbs_to_ints(plain[:, idx : idx + 1])[0]
+        else:
+            z_m = jnp.asarray(FR.to_mont_host([z]))
+            zn1 = jnp.asarray(
+                FR.to_mont_host([(pow(z, self.n, _R) - 1) % _R])
+            )
+            y_m = self.domain._eval_kernel(evals_m, z_m, zn1)
+        # dispatch quotient + MSM BEFORE fetching y: one device sync total
+        q_plain = self.domain.quotient_plain_from_mont(
+            evals_m, z, y_m if y_m is not None else 0
+        )
+        window_sums = msm.msm_device(self.points, self.valid, q_plain, self.c)
+        if y_m is not None:
+            y = FR.from_mont_host(np.asarray(y_m))[0]
+        proof = msm.combine_windows_host(np.asarray(window_sums), self.c)
         return proof, y

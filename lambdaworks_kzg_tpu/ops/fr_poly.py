@@ -67,10 +67,12 @@ class FrDomain:
     def _eval_kernel(self, evals_m, z_m, zn_minus_1_m):
         """Barycentric: y = (z^n - 1)/n * sum_i e_i w_i / (z - w_i).
 
-        evals_m: [16, n] Montgomery; z_m, zn_minus_1_m: [16, 1] Montgomery.
-        z must NOT be in the domain (host checks first).
+        evals_m: [..., 16, n] Montgomery; z_m, zn_minus_1_m: [..., 16, 1]
+        Montgomery (optional leading batch dims). z must NOT be in the
+        domain (host checks first).
         """
-        denoms = FR.sub(jnp.broadcast_to(z_m, self.roots_brp.shape), self.roots_brp)
+        target = z_m.shape[:-1] + (self.n,)
+        denoms = FR.sub(jnp.broadcast_to(z_m, target), self.roots_brp)
         inv_denoms = batch_inv(denoms)
         terms = FR.mul(FR.mul(evals_m, self.roots_brp), inv_denoms)
         total = _sum_tree(terms)
@@ -114,6 +116,39 @@ class FrDomain:
 
     # -- host-facing API ------------------------------------------------------
 
+    def evaluate_blobs_plain(self, plain_limbs, zs) -> list:
+        """Batched p_b(z_b) from PLAIN limb arrays [B, 16, n] (the codec's
+        zero-copy layout) and host ints zs. One device round-trip for the
+        whole batch — the per-blob path pays a tunnel RTT each.
+
+        z-in-domain lanes short-circuit on host (the caller's blob bytes
+        are authoritative there)."""
+        import numpy as np
+
+        b = plain_limbs.shape[0]
+        zs = [z % R for z in zs]
+        evals_m = FR.to_mont(jnp.asarray(plain_limbs))  # [B, 16, n]
+        z_m = jnp.asarray(
+            np.stack([FR.to_mont_host([z]) for z in zs])
+        )  # [B, 16, 1]
+        zn1 = jnp.asarray(
+            np.stack(
+                [FR.to_mont_host([(pow(z, self.n, R) - 1) % R]) for z in zs]
+            )
+        )
+        ys = self._eval_kernel(evals_m, z_m, zn1)  # [B, 16, 1]
+        out = FR.from_mont_host(
+            np.asarray(ys).transpose(1, 0, 2).reshape(16, b)
+        )
+        # patch in-domain lanes exactly
+        for i, z in enumerate(zs):
+            idx = self.root_index.get(z)
+            if idx is not None:
+                out[i] = lb.limbs_to_ints(
+                    np.asarray(plain_limbs[i, :, idx : idx + 1])
+                )[0]
+        return out
+
     def evaluate(self, evals_ints, z: int) -> int:
         """p(z) from evaluation-form ints; exact (consensus semantics)."""
         z %= R
@@ -128,12 +163,23 @@ class FrDomain:
 
     def quotient_plain_device(self, evals_ints, z: int, y: int):
         """Device PLAIN limb array [16, n] of the quotient evaluations."""
-        z %= R
         evals_m = jnp.asarray(FR.to_mont_host(evals_ints))
+        return self.quotient_plain_from_mont(evals_m, z, y)
+
+    def quotient_plain_from_mont(self, evals_m, z: int, y) -> jnp.ndarray:
+        """Quotient from an already-device Montgomery evals array [16, n].
+
+        y may be an int or an already-device Montgomery [16, 1] array
+        (ignored when z is in the domain)."""
+        z %= R
         idx = self.root_index.get(z)
         if idx is None:
             z_m = jnp.asarray(FR.to_mont_host([z]))
-            y_m = jnp.asarray(FR.to_mont_host([y]))
+            y_m = (
+                y
+                if isinstance(y, jnp.ndarray)
+                else jnp.asarray(FR.to_mont_host([int(y)]))
+            )
             return self._quotient_kernel(evals_m, y_m, z_m)
         onehot = jnp.asarray(np.arange(self.n) == idx)
         z_inv = jnp.asarray(FR.to_mont_host([pow(z, R - 2, R)]))

@@ -737,6 +737,7 @@ static FieldVt<Fp2> FP2_VT = {fp2_add, fp2_sub, fp2_mul, fp2_sqr,
 
 static Fp12 THREE12;
 static bool INITIALIZED = false;
+static void fr_init(void);  // defined with the Fr section below
 
 static void set_hard_exp() {
     // (p^4 - p^2 + 1) / r, provided as a little-endian u64 table computed
@@ -823,9 +824,219 @@ extern "C" int lw_init(void) {
     memset(&THREE12, 0, sizeof(THREE12));
     THREE12.c0.c0.c0 = three;
 
+    fr_init();
     set_hard_exp();
     INITIALIZED = true;
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Fr: 4x64-bit Montgomery (the scalar field), for host-side polynomial ops
+// ---------------------------------------------------------------------------
+
+struct Fr { u64 l[4]; };
+
+static Fr FR_ONE_, FR_R2_;
+static u64 R0INV;
+
+static inline int fr_cmp_r(const Fr &a) {
+    for (int i = 3; i >= 0; i--) {
+        if (a.l[i] > R_ORDER[i]) return 1;
+        if (a.l[i] < R_ORDER[i]) return -1;
+    }
+    return 0;
+}
+
+static inline void fr_sub_r(Fr &a) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a.l[i] - R_ORDER[i] - borrow;
+        a.l[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+}
+
+static inline void fr_add(Fr &o, const Fr &a, const Fr &b) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a.l[i] + b.l[i] + carry;
+        o.l[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fr_cmp_r(o) >= 0) fr_sub_r(o);
+}
+
+static inline void fr_sub(Fr &o, const Fr &a, const Fr &b) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a.l[i] - b.l[i] - borrow;
+        o.l[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)o.l[i] + R_ORDER[i] + carry;
+            o.l[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+}
+
+static void fr_mul(Fr &out, const Fr &a, const Fr &b) {
+    u64 t[6] = {0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        u64 ai = a.l[i];
+        for (int j = 0; j < 4; j++) {
+            u128 s = (u128)ai * b.l[j] + t[j] + carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[4] + carry;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+
+        u64 m = t[0] * R0INV;
+        carry = 0;
+        u128 s0 = (u128)m * R_ORDER[0] + t[0];
+        carry = s0 >> 64;
+        for (int j = 1; j < 4; j++) {
+            u128 sj = (u128)m * R_ORDER[j] + t[j] + carry;
+            t[j - 1] = (u64)sj;
+            carry = sj >> 64;
+        }
+        u128 s4 = (u128)t[4] + carry;
+        t[3] = (u64)s4;
+        t[4] = t[5] + (u64)(s4 >> 64);
+        t[5] = 0;
+    }
+    Fr r;
+    memcpy(r.l, t, sizeof(r.l));
+    if (t[4] || fr_cmp_r(r) >= 0) fr_sub_r(r);
+    out = r;
+}
+
+static const u64 R_MINUS_2[4] = {
+    0xfffffffeffffffffULL, 0x53bda402fffe5bfeULL,
+    0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL};
+
+static void fr_inv(Fr &o, const Fr &a) {
+    Fr result = FR_ONE_, base = a;
+    for (int w = 0; w < 4; w++) {
+        u64 bits = R_MINUS_2[w];
+        for (int i = 0; i < 64; i++) {
+            if (bits & 1) fr_mul(result, result, base);
+            fr_mul(base, base, base);
+            bits >>= 1;
+        }
+    }
+    o = result;
+}
+
+static bool fr_from_le(Fr &out, const uint8_t *le32) {
+    Fr plain;
+    for (int i = 0; i < 4; i++) {
+        u64 v = 0;
+        for (int j = 7; j >= 0; j--) v = (v << 8) | le32[i * 8 + j];
+        plain.l[i] = v;
+    }
+    bool canonical = fr_cmp_r(plain) < 0;
+    fr_mul(out, plain, FR_R2_);
+    return canonical;
+}
+
+static void fr_to_le(uint8_t *le32, const Fr &a) {
+    Fr one = {{1, 0, 0, 0}}, plain;
+    fr_mul(plain, a, one);
+    for (int i = 0; i < 4; i++) {
+        u64 v = plain.l[i];
+        for (int j = 0; j < 8; j++) le32[i * 8 + j] = (uint8_t)(v >> (8 * j));
+    }
+}
+
+static void fr_init(void) {
+    u64 x = 1;
+    for (int i = 0; i < 6; i++) x *= 2 - R_ORDER[0] * x;
+    R0INV = (u64)(0 - x);
+    Fr r = {{1, 0, 0, 0}};
+    // 2^256 mod r via doubling
+    for (int i = 0; i < 256; i++) fr_add(r, r, r);
+    FR_ONE_ = r;
+    for (int i = 0; i < 256; i++) fr_add(r, r, r);
+    FR_R2_ = r;
+}
+
+/*
+ * Barycentric blob evaluation on the host (the protocol's p(z):
+ * consensus-spec semantics, same formula as host/fft.barycentric_evaluate
+ * and ops/fr_poly). blob/roots are n x 32-byte little-endian; roots are
+ * the bit-reversal-permuted domain. Returns 0 ok (y written), 2 if any
+ * blob element is non-canonical, 3 on bad n.
+ */
+extern "C" int lw_blob_eval(const uint8_t *blob, const uint8_t *roots,
+                            size_t n, const uint8_t *z32le,
+                            uint8_t *y32le_out) {
+    if (!INITIALIZED) lw_init();
+    if (n == 0 || (n & (n - 1)) != 0 || n > (1u << 26)) return 3;
+    Fr z;
+    if (!fr_from_le(z, z32le)) return 2;
+
+    Fr *e = new Fr[n], *w = new Fr[n], *d = new Fr[n], *pre = new Fr[n];
+    int ret = 0;
+    size_t in_domain = n;
+    for (size_t i = 0; i < n; i++) {
+        if (!fr_from_le(e[i], blob + 32 * i)) { ret = 2; break; }
+        fr_from_le(w[i], roots + 32 * i);
+        Fr diff;
+        fr_sub(diff, z, w[i]);
+        bool zero = true;
+        for (int k = 0; k < 4; k++) zero &= diff.l[k] == 0;
+        if (zero) in_domain = i;
+        d[i] = diff;
+    }
+    if (ret == 0 && in_domain < n) {
+        fr_to_le(y32le_out, e[in_domain]);
+    } else if (ret == 0) {
+        // batched inversion (Montgomery's trick)
+        pre[0] = d[0];
+        for (size_t i = 1; i < n; i++) fr_mul(pre[i], pre[i - 1], d[i]);
+        Fr inv_all;
+        fr_inv(inv_all, pre[n - 1]);
+        Fr acc = {{0, 0, 0, 0}};
+        for (size_t i = n; i-- > 0;) {
+            Fr inv_i;
+            if (i == 0) inv_i = inv_all;
+            else fr_mul(inv_i, inv_all, pre[i - 1]);
+            Fr term;
+            fr_mul(term, e[i], w[i]);
+            fr_mul(term, term, inv_i);
+            fr_add(acc, acc, term);
+            fr_mul(inv_all, inv_all, d[i]);
+        }
+        // y = acc * (z^n - 1) / n
+        Fr zn = z;
+        size_t logn = 0;
+        while (((size_t)1 << logn) < n) logn++;
+        for (size_t s = 0; s < logn; s++) fr_mul(zn, zn, zn);
+        Fr zn1;
+        fr_sub(zn1, zn, FR_ONE_);
+        Fr n_fr = {{0, 0, 0, 0}};
+        // n in Montgomery form: n * R mod r built by doubling FR_ONE_
+        Fr cur = FR_ONE_;
+        for (size_t s = 0; s < logn; s++) fr_add(cur, cur, cur);
+        n_fr = cur;
+        Fr n_inv;
+        fr_inv(n_inv, n_fr);
+        fr_mul(acc, acc, zn1);
+        fr_mul(acc, acc, n_inv);
+        fr_to_le(y32le_out, acc);
+    }
+    delete[] e;
+    delete[] w;
+    delete[] d;
+    delete[] pre;
+    return ret;
 }
 
 // parse affine G1 (96B BE x||y) / G2 (192B BE x0||x1||y0||y1)
