@@ -11,7 +11,7 @@ from lambdaworks_kzg_tpu.models.kzg import HostBackend
 from lambdaworks_kzg_tpu.ops.backend import DeviceBackend
 from lambdaworks_kzg_tpu.utils import blob as B
 
-N = 16
+N = 8  # small: the CPU-emulated subgroup checks dominate test time
 
 
 @pytest.fixture(scope="module")
@@ -36,7 +36,7 @@ def _mk(ctx, rng, count):
 def test_device_batch_verify_matches_host(ctxs):
     device_ctx, host_ctx = ctxs
     rng = random.Random(1)
-    blobs, cs, ps = _mk(host_ctx, rng, 3)
+    blobs, cs, ps = _mk(host_ctx, rng, 2)
     assert device_ctx.verify_blob_kzg_proof_batch(blobs, cs, ps)
     assert host_ctx.verify_blob_kzg_proof_batch(blobs, cs, ps)
     # wrong proof order rejects identically
