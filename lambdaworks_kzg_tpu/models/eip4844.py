@@ -118,6 +118,34 @@ class EIP4844Context:
                 f"blob must be {self.n * BYTES_PER_FIELD_ELEMENT} bytes"
             )
 
+    def compute_blob_kzg_proof_batch(
+        self, blobs: Sequence[bytes], commitment_bytes_list: Sequence[bytes]
+    ) -> List[bytes]:
+        """Batched proofs (serving API beyond the reference's surface)."""
+        if len(commitment_bytes_list) != len(blobs):
+            raise KZGError("length mismatch")
+        for blob in blobs:
+            self._check_blob_size(blob)
+        for cb in commitment_bytes_list:
+            _check_g1(cb, "commitment")
+        zs = [
+            H.compute_challenge(blob, bytes(cb), self.n)
+            for blob, cb in zip(blobs, commitment_bytes_list)
+        ]
+        fast = getattr(self.kzg.backend, "open_blobs", None)
+        if fast is not None:
+            try:
+                return [
+                    C.compress_g1(proof)
+                    for proof, _y in fast([bytes(b) for b in blobs], zs)
+                ]
+            except ValueError as e:
+                raise KZGError(str(e)) from e
+        return [
+            C.compress_g1(self._open(blob, z)[0])
+            for blob, z in zip(blobs, zs)
+        ]
+
     def _open(self, blob: bytes, z: int):
         """kzg.open via the backend's blob-native path when available."""
         fast = getattr(self.kzg.backend, "open_blob", None)

@@ -82,10 +82,12 @@ class FrDomain:
     @functools.partial(jax.jit, static_argnums=0)
     def _quotient_kernel(self, evals_m, y_m, z_m):
         """q_i = (e_i - y) / (w_i - z) on the brp domain (z not in domain).
+        Supports leading batch dims ([..., 16, n] evals, [..., 16, 1] y/z).
         Returns PLAIN (non-Montgomery) limbs ready for MSM digit extraction.
         """
+        target = z_m.shape[:-1] + (self.n,)
         shifted = FR.sub(evals_m, jnp.broadcast_to(y_m, evals_m.shape))
-        denoms = FR.sub(self.roots_brp, jnp.broadcast_to(z_m, self.roots_brp.shape))
+        denoms = FR.sub(self.roots_brp, jnp.broadcast_to(z_m, target))
         q = FR.mul(shifted, batch_inv(denoms))
         return FR.from_mont(q)
 

@@ -156,33 +156,56 @@ def _top_window_split(c: int) -> bool:
 def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
     """[3, L, M] buckets -> [3, L, W] window sums S_w = sum_b b*B_b.
 
-    Fold-reduce: splitting the buckets at h = 2^(c-1) gives
+    Two algorithms, selected by platform:
+      * fold-reduce (TPU): ~5x less point-add work, but its ~3c distinct
+        array shapes make the XLA *CPU* compile pathological (>30 min at
+        c=8 vs seconds for the scan);
+      * suffix-scan (CPU): two fori_loops with shape-invariant bodies —
+        compiles in seconds, runtime only matters on real chips.
+    Both are exact and produce identical bits (tests/test_curve.py).
+    """
+    from . import dispatch
+
+    arr = _merge_top_aliases(_zero_bucket0(buckets, c), c)
+    if dispatch.use_pallas():
+        return _bucket_reduce_fold(arr, c)
+    return _bucket_reduce_scan(arr, c)
+
+
+def _zero_bucket0(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Neutralize bucket-0 lanes (invalid points route there; weight 0)."""
+    b_idx = jnp.arange(buckets.shape[-1]) % (1 << c)
+    return jnp.where((b_idx == 0)[None, None, :], 0, buckets)
+
+
+def _merge_top_aliases(arr: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Merge the top window's alias lanes (bucket b's second copy lives
+    at lane b + 2^(c-1); see bucket_accumulate)."""
+    if not _top_window_split(c):
+        return arr
+    num_buckets = 1 << c
+    w = arr.shape[-1] // num_buckets
+    arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
+    half = num_buckets // 2
+    top = arr4[..., -1:, :]
+    lo = top[..., :half]
+    hi = top[..., half:]
+    merged = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
+    top = jnp.concatenate([merged, jnp.zeros_like(hi)], axis=-1)
+    arr4 = jnp.concatenate([arr4[..., :-1, :], top], axis=-2)
+    return arr4.reshape(arr.shape)
+
+
+def _bucket_reduce_fold(arr: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Fold-reduce: splitting the buckets at h = 2^(c-1) gives
       sum_b b*B_b = sum_{j<h} j*(B_j + B_{j+h}) + h * sum_{j<h} B_{j+h},
     so each round folds the bucket axis in half (h/2 point adds per
     window) and banks the high-half total E_r; the answer is the Horner
-    combine sum_r 2^(c-r) * E_r. Work is ~3*2^c adds per window versus
-    ~2c*2^c for a suffix scan — about 5x less at c = 8 — and every add
-    runs on a contiguous flattened lane block (no rolls, no masks).
-    """
+    combine sum_r 2^(c-r) * E_r. ~3*2^c adds per window vs ~2c*2^c for
+    the scan, all on contiguous flattened lane blocks."""
     num_buckets = 1 << c
-    m_total = buckets.shape[-1]
-    w = m_total // num_buckets
-    b_idx = jnp.arange(m_total) % num_buckets  # bucket id per lane
-
-    # neutralize bucket-0 lanes (invalid points route there; weight 0)
-    arr = jnp.where((b_idx == 0)[None, None, :], 0, buckets)
+    w = arr.shape[-1] // num_buckets
     arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
-
-    if _top_window_split(c):
-        # merge the top window's alias lanes (bucket b's second copy
-        # lives at lane b + 2^(c-1); see bucket_accumulate)
-        half = num_buckets // 2
-        top = arr4[..., -1:, :]
-        lo = top[..., :half]
-        hi = top[..., half:]
-        merged = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
-        top = jnp.concatenate([merged, jnp.zeros_like(hi)], axis=-1)
-        arr4 = jnp.concatenate([arr4[..., :-1, :], top], axis=-2)
 
     totals = []  # E_r = sum of the high half at round r
     h = num_buckets // 2
@@ -197,6 +220,38 @@ def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
     for e in totals[1:]:
         acc = _add(_dbl(acc), e)
     return acc  # [3, L, W]
+
+
+def _bucket_reduce_scan(arr: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Suffix-scan reduce: S_w = sum_{b>=1} suffix_b with
+    suffix_b = sum_{b'>=b} B_b'. Two fori_loops whose bodies roll the
+    flat lane axis (masked at window boundaries) — shape-invariant, so
+    the XLA CPU compile stays fast."""
+    num_buckets = 1 << c
+    m_total = arr.shape[-1]
+    b_idx = jnp.arange(m_total) % num_buckets
+
+    def scan_body(k, a):
+        shift = jnp.int32(1) << k
+        rolled = jnp.roll(a, -shift, axis=-1)
+        live = (b_idx + shift) < num_buckets
+        summed = _add(a, rolled)
+        return jnp.where(live[None, None, :], summed, a)
+
+    a = jax.lax.fori_loop(0, c, scan_body, arr)
+    # lane (w, b) = suffix_b for b >= 1; zero the b = 0 junk lane so the
+    # pairwise tree can use it as additive identity (all-zero == infinity)
+    a = jnp.where((b_idx == 0)[None, None, :], 0, a)
+
+    def tree_body(k, a):
+        half = jnp.int32(num_buckets // 2) >> k
+        rolled = jnp.roll(a, -half, axis=-1)
+        live = b_idx < half
+        summed = _add(a, rolled)
+        return jnp.where(live[None, None, :], summed, a)
+
+    a = jax.lax.fori_loop(0, c, tree_body, a)
+    return a[..., ::num_buckets]  # lane (w, 0) holds S_w
 
 
 @functools.partial(jax.jit, static_argnames=("c",))
