@@ -27,13 +27,20 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("LWKZG_NATIVE") == "0":
         return None
+    import sys
+
     try:
         if not os.path.exists(_LIB_PATH):
+            print(
+                "[lambdaworks_kzg_tpu] building native tier "
+                f"(make -C {os.path.abspath(_NATIVE_DIR)}) ...",
+                file=sys.stderr,
+            )
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
                 check=True,
                 capture_output=True,
-                timeout=120,
+                timeout=300,
             )
         lib = ctypes.CDLL(_LIB_PATH)
         lib.lw_init.restype = ctypes.c_int
@@ -44,9 +51,22 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lw_g2_scalar_mul.restype = ctypes.c_int
         lib.lw_blob_eval.restype = ctypes.c_int
         if lib.lw_init() != 0:
+            print(
+                "[lambdaworks_kzg_tpu] native tier self-check failed; "
+                "falling back to the pure-Python oracle (slow). "
+                "Set LWKZG_NATIVE=0 to silence.",
+                file=sys.stderr,
+            )
             return None
         _lib = lib
-    except Exception:
+    except Exception as e:
+        print(
+            f"[lambdaworks_kzg_tpu] native tier unavailable ({e!r}); "
+            f"falling back to the pure-Python oracle (slow). "
+            f"Run `make -C {os.path.abspath(_NATIVE_DIR)}` to build it, "
+            "or set LWKZG_NATIVE=0 to silence.",
+            file=sys.stderr,
+        )
         _lib = None
     return _lib
 

@@ -29,7 +29,14 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 
-REFERENCE_TESTS = "/root/reference/tests"
+# Consensus-spec vectors: the repo bundles them (testdata/consensus, the
+# standalone bit-exactness gate); a reference mount is a fallback only.
+_BUNDLED_TESTS = os.path.join(
+    os.path.dirname(__file__), "..", "testdata", "consensus"
+)
+REFERENCE_TESTS = (
+    _BUNDLED_TESTS if os.path.isdir(_BUNDLED_TESTS) else "/root/reference/tests"
+)
 
 
 def reference_vectors_available() -> bool:
@@ -44,8 +51,27 @@ def mainnet_setup():
 
 
 @pytest.fixture(scope="session")
-def mainnet_ctx(mainnet_setup):
+def host_ctx(mainnet_setup):
     from lambdaworks_kzg_tpu.models.eip4844 import EIP4844Context
     from lambdaworks_kzg_tpu.models.kzg import HostBackend
 
     return EIP4844Context(mainnet_setup, backend=HostBackend(mainnet_setup))
+
+
+@pytest.fixture(scope="session")
+def device_ctx(mainnet_setup):
+    from lambdaworks_kzg_tpu.models.eip4844 import EIP4844Context
+    from lambdaworks_kzg_tpu.ops.backend import DeviceBackend
+
+    return EIP4844Context(
+        mainnet_setup, backend=DeviceBackend(mainnet_setup)
+    )
+
+
+@pytest.fixture(scope="session", params=["host", "device"])
+def mainnet_ctx(request, host_ctx):
+    """Both math tiers: the consensus vectors gate the production device
+    kernels AND the Python-int oracle (README's 'either tier' contract)."""
+    if request.param == "host":
+        return host_ctx
+    return request.getfixturevalue("device_ctx")

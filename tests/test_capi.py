@@ -14,7 +14,9 @@ import pytest
 
 CAPI_DIR = os.path.join(os.path.dirname(__file__), "..", "capi")
 LIB = os.path.join(CAPI_DIR, "liblambdaworks_kzg_tpu.so")
-SETUP_4 = "/root/reference/tests/trusted_setup_4.txt"
+SETUP_4 = os.path.join(
+    os.path.dirname(__file__), "..", "testdata", "trusted_setup_4.txt"
+)
 
 os.environ.setdefault("LWKZG_BACKEND", "host")
 
@@ -177,3 +179,20 @@ def test_load_trusted_setup_bad_counts(lib):
     s = KZGSettings()
     ret = lib.load_trusted_setup(ctypes.byref(s), b"\x00" * 48, 1, b"\x00" * 96, 1)
     assert ret == 1  # BADARGS (reference src/lib.rs:716-718)
+
+
+def test_blst_point_tables_readable(settings):
+    """The KZGSettings tables hold real blst-shaped points a C caller may
+    read (reference parity, src/srs.rs:131-247): canonical coordinates,
+    l[0] = most-significant u64, projective z == 1."""
+    from lambdaworks_kzg_tpu.capi_adapter import _p1_mem, _p2_mem
+    from lambdaworks_kzg_tpu.models.srs import load_trusted_setup_file
+
+    setup = load_trusted_setup_file(SETUP_4)
+    assert settings.fs  # opaque handle (deviation from reference's NULL)
+    g1_mem = ctypes.string_at(settings.g1_values, 144 * setup.n)
+    for i, aff in enumerate(setup.g1_monomial):
+        assert g1_mem[i * 144 : (i + 1) * 144] == _p1_mem(aff), i
+    g2_mem = ctypes.string_at(settings.g2_values, 288 * len(setup.g2_monomial))
+    for i, aff in enumerate(setup.g2_monomial):
+        assert g2_mem[i * 288 : (i + 1) * 288] == _p2_mem(aff), i
