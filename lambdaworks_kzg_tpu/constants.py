@@ -49,6 +49,31 @@ B_G2 = (4, 4)  # 4*(u+1) = 4 + 4u as (c0, c1)
 # BLS parameter x (the curve is parameterized by x; x < 0 for BLS12-381)
 BLS_X = -0xD201000000010000
 
+# GLV endomorphism sigma(x, y) = (BETA*x, y): the cube root of unity in Fp
+# that acts as multiplication by -BLS_X^2 on G1. Fast subgroup check
+# (Scott, "A note on group membership tests...", the check blst ships):
+#   P on curve is in G1  <=>  sigma(P) == -[BLS_X^2]P
+# i.e. two 64-bit scalar muls instead of the definitional 255-bit [r]P
+# (reference src/compression.rs:22-27). Validated against the definitional
+# oracle in tests/test_curve.py / test_g1_batch.py, including h-torsion
+# points and the consensus not_in_G1 vectors.
+G1_BETA = 0x5F19672FDF76CE51BA69C6076A0F77EADDB3A93BE6F89688DE17D813620A00022E01FFFFFFFEFFFE
+
+# G2 untwist-Frobenius-twist endomorphism psi(x, y) = (PSI_X*conj(x),
+# PSI_Y*conj(y)) (conj = Fp2 conjugation), acting as multiplication by
+# BLS_X on G2. Fast subgroup check (same Scott note / blst):
+#   Q on twist is in G2  <=>  psi(Q) == -[|BLS_X|]Q
+# Constants derived from [BLS_X]G2 / conj(G2) and validated as an
+# endomorphism + against the definitional oracle in tests/test_curve.py.
+PSI_X = (
+    0x0,
+    0x1A0111EA397FE699EC02408663D4DE85AA0D857D89759AD4897D29650FB85F9B409427EB4F49FFFD8BFD00000000AAAD,
+)
+PSI_Y = (
+    0x135203E60180A68EE2E9C448D77A2CD91C3DEDD930B1CF60EF396489F61EB45E304466CF3E67FA0AF1EE7B04121BDEA2,
+    0x06AF0E0437FF400B6831E36D6BD17FFE48395DABC2D3435E77F76E17009241C5EE67992F72EC05F4C81084FBEDE3CC09,
+)
+
 # G1 generator (affine)
 G1_GENERATOR_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
 G1_GENERATOR_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1

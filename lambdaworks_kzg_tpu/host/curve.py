@@ -16,6 +16,7 @@ from typing import Any, Callable, Optional
 from ..constants import (
     B_G1,
     B_G2,
+    BLS_X,
     G1_GENERATOR_X,
     G1_GENERATOR_Y,
     G2_GENERATOR_X,
@@ -235,13 +236,8 @@ G2_GENERATOR = (G2_GENERATOR_X, G2_GENERATOR_Y, F.FP2_ONE)
 
 
 def _g1_in_subgroup_py(pt) -> bool:
-    """Pure-Python definitional subgroup check: [r]P == O (the oracle).
-
-    NOTE: the plain GLV-eigenvalue shortcut phi(P) == -[x^2]P is NOT
-    sufficient on BLS12-381 (non-G1 points from the consensus `not_in_G1`
-    vectors satisfy it); only the definitional check is authoritative here.
-    The batched device tier amortizes this cost (ops/g1_batch.py).
-    """
+    """Pure-Python DEFINITIONAL subgroup check: [r]P == O (the oracle
+    the fast endomorphism checks are differential-tested against)."""
     if is_infinity(FP_OPS, pt):
         return True
     return is_infinity(FP_OPS, point_scalar_mul_raw(FP_OPS, pt, R))
@@ -251,17 +247,58 @@ def _g2_in_subgroup_py(pt) -> bool:
     return is_infinity(FP2_OPS, point_scalar_mul_raw(FP2_OPS, pt, R))
 
 
+def _g1_in_subgroup_fast(pt) -> bool:
+    """Scott's endomorphism subgroup check: sigma(P) == -[x^2]P where
+    sigma(X, Y, Z) = (G1_BETA*X, Y, Z) acts as -x^2 on G1 (x = BLS
+    parameter). Two 64-bit scalar muls instead of the 255-bit [r]P the
+    reference does per point (src/compression.rs:22-27) — ~3x cheaper.
+
+    NOTE the eigenvalue pairing: G1_BETA is the cube root acting as
+    -x^2, NOT x^2-1; pairing the other root with -x^2 makes the test
+    wrongly reject G1 members (the trap a round-1 comment here fell
+    into). Validated vs the definitional oracle on random curve points,
+    h-torsion points, and the consensus not_in_G1 vectors.
+    """
+    if is_infinity(FP_OPS, pt):
+        return True
+    from ..constants import G1_BETA
+
+    x_abs = -BLS_X
+    X, Y, Z = pt
+    sig = (X * G1_BETA % P, Y, Z)
+    xxP = point_scalar_mul_raw(
+        FP_OPS, point_scalar_mul_raw(FP_OPS, pt, x_abs), x_abs
+    )
+    return points_eq(FP_OPS, sig, point_neg(FP_OPS, xxP))
+
+
+def _g2_in_subgroup_fast(pt) -> bool:
+    """psi(Q) == [x]Q (= -[|x|]Q; x < 0) with psi the untwist-Frobenius-
+    twist endomorphism — one 64-bit scalar mul instead of [r]Q."""
+    if is_infinity(FP2_OPS, pt):
+        return True
+    from ..constants import PSI_X, PSI_Y
+
+    x, y = to_affine(FP2_OPS, pt)
+    conj = lambda v: (v[0], (P - v[1]) % P)
+    psi = from_affine(
+        FP2_OPS, (FP2_OPS.mul(PSI_X, conj(x)), FP2_OPS.mul(PSI_Y, conj(y)))
+    )
+    xQ = point_scalar_mul_raw(FP2_OPS, pt, -BLS_X)
+    return points_eq(FP2_OPS, psi, point_neg(FP2_OPS, xQ))
+
+
 def g1_in_subgroup(pt) -> bool:
-    """[r]P == O, via the native C++ tier when built (the per-point host
-    scalar mul is the verify path's hottest op; LWKZG_NATIVE=0 forces the
-    pure-Python check — differential-tested in tests/test_native.py)."""
+    """G1 membership via the fast endomorphism check (native C++ tier
+    when built; pure-Python fallback). LWKZG_NATIVE=0 forces Python —
+    differential-tested in tests/test_native.py / test_curve.py."""
     if is_infinity(FP_OPS, pt):
         return True
     from .. import native
 
     if native.available():
         return native.g1_in_subgroup_affine(to_affine(FP_OPS, pt))
-    return _g1_in_subgroup_py(pt)
+    return _g1_in_subgroup_fast(pt)
 
 
 def g2_in_subgroup(pt) -> bool:
@@ -271,7 +308,7 @@ def g2_in_subgroup(pt) -> bool:
 
     if native.available():
         return native.g2_in_subgroup_affine(to_affine(FP2_OPS, pt))
-    return _g2_in_subgroup_py(pt)
+    return _g2_in_subgroup_fast(pt)
 
 
 # ---------------------------------------------------------------------------

@@ -85,12 +85,63 @@ def scalar_mul_per_lane(
     return acc
 
 
-def subgroup_mask(points_jac: jnp.ndarray) -> jnp.ndarray:
-    """bool[B]: [r]P == infinity (exact subgroup test, batched).
+def subgroup_mask_definitional(points_jac: jnp.ndarray) -> jnp.ndarray:
+    """bool[B]: [r]P == infinity (definitional subgroup test, batched).
 
     Same criterion as the reference's check_point_is_in_subgroup
-    (src/compression.rs:22-27), vectorized over all lanes."""
+    (src/compression.rs:22-27), vectorized over all lanes. Kept as the
+    oracle the fast endomorphism check is differential-tested against."""
     return g1.is_infinity(scalar_mul_fixed(points_jac, R))
+
+
+_BETA_MONT = None  # lazy: jnp constants at import time break jax configury
+
+
+def _beta_mont():
+    global _BETA_MONT
+    if _BETA_MONT is None:
+        from ..constants import G1_BETA
+
+        _BETA_MONT = jnp.asarray(FP.to_mont_host([G1_BETA]))
+    return _BETA_MONT
+
+
+@jax.jit
+def _jacobian_eq_mask(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """bool[B]: p == q as curve points (cross-multiplied Jacobian test)."""
+    X1, Y1, Z1 = p[0], p[1], p[2]
+    X2, Y2, Z2 = q[0], q[1], q[2]
+    Z11, Z22 = FP.sqr(Z1), FP.sqr(Z2)
+    ex = FP.eq(FP.mul(X1, Z22), FP.mul(X2, Z11))
+    ey = FP.eq(
+        FP.mul(FP.mul(Y1, Z2), Z22), FP.mul(FP.mul(Y2, Z1), Z11)
+    )
+    inf1, inf2 = FP.is_zero(Z1), FP.is_zero(Z2)
+    either = inf1 | inf2
+    return jnp.where(either, inf1 == inf2, ex & ey)
+
+
+@jax.jit
+def subgroup_mask(points_jac: jnp.ndarray) -> jnp.ndarray:
+    """bool[B]: P in G1, batched fast endomorphism check (Scott):
+    sigma(P) == -[x^2]P with sigma = (BETA*X, Y, Z) acting as -x^2.
+
+    Two 64-bit fixed-scalar muls (~128 lockstep point ops) instead of the
+    definitional 255-bit [r]P (~380) — see host/curve._g1_in_subgroup_fast
+    for the eigenvalue-pairing proof obligations. Infinity lanes pass (all
+    three coordinate planes zero on both sides). Differential-tested
+    against subgroup_mask_definitional in tests/test_g1_batch.py."""
+    from ..constants import BLS_X
+
+    x_abs = -BLS_X
+    xP = scalar_mul_fixed(points_jac, x_abs)
+    xxP = scalar_mul_fixed(xP, x_abs)
+    beta = jnp.broadcast_to(_beta_mont(), points_jac.shape[-2:])
+    sigma = jnp.stack(
+        [FP.mul(points_jac[0], beta), points_jac[1], points_jac[2]], axis=0
+    )
+    neg_xxP = jnp.stack([xxP[0], FP.neg(xxP[1]), xxP[2]], axis=0)
+    return _jacobian_eq_mask(sigma, neg_xxP)
 
 
 # -- batched decompression ----------------------------------------------------

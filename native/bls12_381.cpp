@@ -1118,7 +1118,82 @@ extern "C" int lw_pairings_verify_exact(const uint8_t *a1, int a1_inf,
     return fp12_is_one(out) ? 1 : 0;
 }
 
+// ---------------------------------------------------------------------------
+// Fast subgroup checks (Scott's endomorphism method; the checks blst ships)
+//
+// G1: P in G1  <=>  sigma(P) == -[x^2]P, sigma(x,y) = (BETA*x, y)
+// G2: Q in G2  <=>  psi(Q)  == -[|x|]Q,  psi(x,y) = (PSI_X*conj(x),
+//                                                    PSI_Y*conj(y))
+// where x = -0xd201000000010000 is the BLS parameter. Two (resp. one)
+// 64-bit scalar muls instead of the definitional 255-bit [r]P the
+// reference runs per point (src/compression.rs:22-27). Constants and the
+// eigenvalue-pairing derivation: lambdaworks_kzg_tpu/constants.py;
+// differential-tested vs the definitional oracle in tests/test_native.py.
+// ---------------------------------------------------------------------------
+
+static const u64 BLS_X_ABS[1] = {0xd201000000010000ULL};
+
+static const uint8_t G1_BETA_BE[48] = {
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x5f, 0x19, 0x67, 0x2f,
+    0xdf, 0x76, 0xce, 0x51, 0xba, 0x69, 0xc6, 0x07, 0x6a, 0x0f, 0x77, 0xea,
+    0xdd, 0xb3, 0xa9, 0x3b, 0xe6, 0xf8, 0x96, 0x88, 0xde, 0x17, 0xd8, 0x13,
+    0x62, 0x0a, 0x00, 0x02, 0x2e, 0x01, 0xff, 0xff, 0xff, 0xfe, 0xff, 0xfe};
+static const uint8_t PSI_X_C1_BE[48] = {
+    0x1a, 0x01, 0x11, 0xea, 0x39, 0x7f, 0xe6, 0x99, 0xec, 0x02, 0x40, 0x86,
+    0x63, 0xd4, 0xde, 0x85, 0xaa, 0x0d, 0x85, 0x7d, 0x89, 0x75, 0x9a, 0xd4,
+    0x89, 0x7d, 0x29, 0x65, 0x0f, 0xb8, 0x5f, 0x9b, 0x40, 0x94, 0x27, 0xeb,
+    0x4f, 0x49, 0xff, 0xfd, 0x8b, 0xfd, 0x00, 0x00, 0x00, 0x00, 0xaa, 0xad};
+static const uint8_t PSI_Y_C0_BE[48] = {
+    0x13, 0x52, 0x03, 0xe6, 0x01, 0x80, 0xa6, 0x8e, 0xe2, 0xe9, 0xc4, 0x48,
+    0xd7, 0x7a, 0x2c, 0xd9, 0x1c, 0x3d, 0xed, 0xd9, 0x30, 0xb1, 0xcf, 0x60,
+    0xef, 0x39, 0x64, 0x89, 0xf6, 0x1e, 0xb4, 0x5e, 0x30, 0x44, 0x66, 0xcf,
+    0x3e, 0x67, 0xfa, 0x0a, 0xf1, 0xee, 0x7b, 0x04, 0x12, 0x1b, 0xde, 0xa2};
+static const uint8_t PSI_Y_C1_BE[48] = {
+    0x06, 0xaf, 0x0e, 0x04, 0x37, 0xff, 0x40, 0x0b, 0x68, 0x31, 0xe3, 0x6d,
+    0x6b, 0xd1, 0x7f, 0xfe, 0x48, 0x39, 0x5d, 0xab, 0xc2, 0xd3, 0x43, 0x5e,
+    0x77, 0xf7, 0x6e, 0x17, 0x00, 0x92, 0x41, 0xc5, 0xee, 0x67, 0x99, 0x2f,
+    0x72, 0xec, 0x05, 0xf4, 0xc8, 0x10, 0x84, 0xfb, 0xed, 0xe3, 0xcc, 0x09};
+
+template <typename F>
+static bool jac_eq_pts(const FieldVt<F> &f, const Jac<F> &p, const Jac<F> &q) {
+    bool pi = p.inf || f.is_zero(p.z);
+    bool qi = q.inf || f.is_zero(q.z);
+    if (pi || qi) return pi == qi;
+    F z11, z22, u1, u2, s1, s2, t, z13, z23;
+    f.sqr(z11, p.z);
+    f.sqr(z22, q.z);
+    f.mul(u1, p.x, z22);
+    f.mul(u2, q.x, z11);
+    f.sub(t, u1, u2);
+    if (!f.is_zero(t)) return false;
+    f.mul(z13, z11, p.z);
+    f.mul(z23, z22, q.z);
+    f.mul(s1, p.y, z23);
+    f.mul(s2, q.y, z13);
+    f.sub(t, s1, s2);
+    return f.is_zero(t);
+}
+
 extern "C" int lw_g1_in_subgroup(const uint8_t *p96) {
+    if (!INITIALIZED) lw_init();
+    Jac<Fp> p, xp, xxp;
+    fp_from_be(p.x, p96);
+    fp_from_be(p.y, p96 + 48);
+    p.z = FP_ONE;
+    p.inf = false;
+    jac_scalar_mul(FP_VT, xp, p, BLS_X_ABS, 1);
+    jac_scalar_mul(FP_VT, xxp, xp, BLS_X_ABS, 1);
+    Fp beta, ny;
+    fp_from_be(beta, G1_BETA_BE);
+    Jac<Fp> sigma = p;
+    fp_mul(sigma.x, p.x, beta);
+    fp_neg(ny, xxp.y);
+    xxp.y = ny;  // -[x^2]P
+    return jac_eq_pts(FP_VT, sigma, xxp) ? 1 : 0;
+}
+
+// definitional [r]P == O (oracle for differential tests)
+extern "C" int lw_g1_in_subgroup_naive(const uint8_t *p96) {
     if (!INITIALIZED) lw_init();
     Jac<Fp> p, out;
     fp_from_be(p.x, p96);
@@ -1130,6 +1205,34 @@ extern "C" int lw_g1_in_subgroup(const uint8_t *p96) {
 }
 
 extern "C" int lw_g2_in_subgroup(const uint8_t *q192) {
+    if (!INITIALIZED) lw_init();
+    Jac<Fp2> q, xq;
+    fp_from_be(q.x.c0, q192);
+    fp_from_be(q.x.c1, q192 + 48);
+    fp_from_be(q.y.c0, q192 + 96);
+    fp_from_be(q.y.c1, q192 + 144);
+    q.z = FP2_ONE_;
+    q.inf = false;
+    jac_scalar_mul(FP2_VT, xq, q, BLS_X_ABS, 1);
+    Fp2 psix, psiy, cx, cy;
+    memset(&psix, 0, sizeof(psix));
+    fp_from_be(psix.c1, PSI_X_C1_BE);
+    fp_from_be(psiy.c0, PSI_Y_C0_BE);
+    fp_from_be(psiy.c1, PSI_Y_C1_BE);
+    fp2_conj(cx, q.x);
+    fp2_conj(cy, q.y);
+    Jac<Fp2> psi;
+    fp2_mul(psi.x, psix, cx);
+    fp2_mul(psi.y, psiy, cy);
+    psi.z = FP2_ONE_;
+    psi.inf = false;
+    Fp2 nyy;
+    fp2_neg(nyy, xq.y);
+    xq.y = nyy;  // psi acts as x = -|x|: compare psi(Q) == -[|x|]Q
+    return jac_eq_pts(FP2_VT, psi, xq) ? 1 : 0;
+}
+
+extern "C" int lw_g2_in_subgroup_naive(const uint8_t *q192) {
     if (!INITIALIZED) lw_init();
     Jac<Fp2> q, out;
     fp_from_be(q.x.c0, q192);
