@@ -42,9 +42,29 @@ typedef Bytes48 KZGCommitment;
 typedef Bytes48 KZGProof;
 
 /*
+ * blst-shaped point structs, as stored in KZGSettings (byte-for-byte the
+ * reference's tables, src/srs.rs:131-247): coordinates are CANONICAL
+ * (non-Montgomery) values, l[0] = most-significant u64, projective z == 1
+ * (infinity: x = y = 0, z encoding value 1). Six limbs — NOT the four of
+ * the reference's buggy generated header (src/lambdaworks_kzg.h:97-99).
+ */
+typedef struct { uint64_t l[6]; } blst_fp;
+typedef struct { blst_fp fp[2]; } blst_fp2;
+typedef struct { blst_fp x, y, z; } blst_p1;
+typedef struct { blst_fp2 x, y, z; } blst_p2;
+
+/*
  * Layout-compatible with the reference's KZGSettings (three pointers;
- * reference src/lib.rs:210-232). fs and g2_values are always NULL here;
- * g1_values holds an opaque handle owned by the library.
+ * reference src/lib.rs:210-232).
+ *   g1_values: n1 x blst_p1 — the setup's G1 points (monomial basis, as
+ *              loaded from the file; same basis the reference stores).
+ *              Callers MAY read this table (reference parity).
+ *   g2_values: n2 x blst_p2 — the setup's G2 points. Readable likewise.
+ *   fs:        OPAQUE handle owned by this library. The reference always
+ *              leaves fs NULL (its FFTSettings are never built,
+ *              src/srs.rs:113); here it is non-NULL and must not be
+ *              dereferenced or modified.
+ * All three are owned by the library; free with free_trusted_setup.
  */
 typedef struct {
     void *fs;

@@ -104,21 +104,50 @@ static C_KZG_RET unpack_ctx(PyObject *res, KZGSettings *out) {
         return C_KZG_ERROR;
     }
 
+    /* Populate the C-readable blst-layout point tables (reference
+     * parity: callers may walk g1_values/g2_values, src/lib.rs:210-232).
+     */
+    void *g1_tab = NULL, *g2_tab = NULL;
+    PyObject *tres = call_adapter("blst_tables", Py_BuildValue("(O)", ctx));
+    if (tres != NULL && PyLong_AsLong(PyTuple_GetItem(tres, 0)) == C_KZG_OK) {
+        PyObject *pair = PyTuple_GetItem(tres, 1);
+        char *b1 = NULL, *b2 = NULL;
+        Py_ssize_t l1 = 0, l2 = 0;
+        if (PyBytes_AsStringAndSize(PyTuple_GetItem(pair, 0), &b1, &l1) == 0 &&
+            PyBytes_AsStringAndSize(PyTuple_GetItem(pair, 1), &b2, &l2) == 0) {
+            g1_tab = malloc((size_t)l1 > 0 ? (size_t)l1 : 1);
+            g2_tab = malloc((size_t)l2 > 0 ? (size_t)l2 : 1);
+            if (g1_tab != NULL && g2_tab != NULL) {
+                memcpy(g1_tab, b1, (size_t)l1);
+                memcpy(g2_tab, b2, (size_t)l2);
+            } else {
+                free(g1_tab); free(g2_tab);
+                g1_tab = g2_tab = NULL;
+            }
+        }
+    }
+    Py_XDECREF(tres);
+    if (g1_tab == NULL) {
+        Py_DECREF(ctx);
+        return C_KZG_ERROR;
+    }
+
     lw_handle *h = (lw_handle *)malloc(sizeof(lw_handle));
     if (h == NULL) {
         Py_DECREF(ctx);
+        free(g1_tab); free(g2_tab);
         return C_KZG_MALLOC;
     }
     h->ctx = ctx;
     h->blob_size = (size_t)bs;
-    out->fs = NULL;
-    out->g1_values = (void *)h;
-    out->g2_values = NULL;
+    out->fs = (void *)h;          /* opaque handle (reference leaves NULL) */
+    out->g1_values = g1_tab;      /* n1 x blst_p1 (144 B each) */
+    out->g2_values = g2_tab;      /* n2 x blst_p2 (288 B each) */
     return C_KZG_OK;
 }
 
 static lw_handle *handle_of(const KZGSettings *s) {
-    return s ? (lw_handle *)s->g1_values : NULL;
+    return s ? (lw_handle *)s->fs : NULL;
 }
 
 C_KZG_RET load_trusted_setup(
@@ -172,7 +201,11 @@ void free_trusted_setup(KZGSettings *s) {
     Py_DECREF(h->ctx);
     PyGILState_Release(st);
     free(h);
+    free(s->g1_values);
+    free(s->g2_values);
+    s->fs = NULL;
     s->g1_values = NULL;
+    s->g2_values = NULL;
 }
 
 C_KZG_RET blob_to_kzg_commitment(

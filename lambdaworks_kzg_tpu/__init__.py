@@ -23,29 +23,63 @@ The seven reference entry points (reference src/lib.rs:245-829) map to:
 """
 
 def _configure_compile_cache():
-    """Default a persistent XLA compile cache (LWKZG_COMPILE_CACHE=0 opts
-    out; a user-set jax_compilation_cache_dir wins).
+    """Configure THE persistent XLA compile cache (the single knob).
+
+    LWKZG_COMPILE_CACHE=0       disable
+    LWKZG_COMPILE_CACHE=<path>  use <path> as the cache directory
+    (unset)                     ~/.cache/lambdaworks_kzg_tpu/jax
+    A user-set jax_compilation_cache_dir / JAX_COMPILATION_CACHE_DIR wins.
 
     The fused limb-arithmetic kernels compile in minutes cold and
-    milliseconds cached; a library whose first call costs 5 minutes per
-    process is unusable without this.
+    milliseconds cached; a library whose first call costs minutes per
+    process is unusable without this. `warmup()` pre-populates it.
     """
     import os
 
-    if os.environ.get("LWKZG_COMPILE_CACHE") == "0":
+    knob = os.environ.get("LWKZG_COMPILE_CACHE")
+    if knob == "0":
         return
     try:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
-            cache = os.path.join(
+            cache = knob or os.path.join(
                 os.path.expanduser("~"), ".cache", "lambdaworks_kzg_tpu", "jax"
             )
+            _migrate_legacy_cache(cache)
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # jax absent or too old: the host tier still works
+
+
+def _migrate_legacy_cache(cache: str) -> None:
+    """Adopt entries from the pre-0.2 cache directory (an early release
+    briefly had a second knob writing ~/.cache/lambdaworks_kzg_tpu_jax;
+    losing those entries costs minutes of TPU recompiles)."""
+    import os
+
+    legacy = os.path.join(
+        os.path.expanduser("~"), ".cache", "lambdaworks_kzg_tpu_jax"
+    )
+    if not os.path.isdir(legacy):
+        return
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        if not os.path.exists(cache):
+            os.rename(legacy, cache)
+        else:
+            for name in os.listdir(legacy):
+                dst = os.path.join(cache, name)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(legacy, name), dst)
+            try:
+                os.rmdir(legacy)
+            except OSError:
+                pass
+    except OSError:
+        pass
 
 
 _configure_compile_cache()
@@ -66,8 +100,9 @@ from .models.srs import (
     load_trusted_setup_file,
 )
 from .models.srs import load_trusted_setup_from_bytes as load_trusted_setup
+from .utils.config import DEFAULT_CONFIG, KZGConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BYTES_PER_BLOB",
@@ -75,8 +110,10 @@ __all__ = [
     "BYTES_PER_FIELD_ELEMENT",
     "BYTES_PER_PROOF",
     "FIELD_ELEMENTS_PER_BLOB",
+    "DEFAULT_CONFIG",
     "EIP4844Context",
     "KZG",
+    "KZGConfig",
     "KZGError",
     "HostBackend",
     "SetupLoadError",

@@ -103,3 +103,56 @@ def verify_blob_kzg_proof_batch(
         )
 
     return _wrap(go)
+
+
+# -- blst-layout point tables (C-readable KZGSettings contents) --------------
+#
+# The reference's KZGSettings carries real point arrays a C caller may
+# legally read (reference src/lib.rs:210-232; filled at src/srs.rs:131-247):
+# blst_p1/blst_p2-shaped structs holding CANONICAL (non-Montgomery)
+# coordinates with big-endian u64 word order (srs.rs:154-171 reads l[0]'s
+# big-endian bytes first) and projective z == 1. We reproduce that layout
+# exactly so callers that walk the tables keep working; our own entry
+# points never read them (the converted SRS lives device-side).
+
+
+def _fp_words_mem(v: int) -> bytes:
+    """48-byte struct memory image of blst_fp {u64 l[6]} under the
+    reference's encoding: l[0] = most-significant word, native (LE)
+    byte order in memory."""
+    be = v.to_bytes(48, "big")
+    return b"".join(be[i * 8 : (i + 1) * 8][::-1] for i in range(6))
+
+
+def _p1_mem(aff) -> bytes:
+    if aff is None:  # reference infinity: x = y = 0, z = [0,..,0,1]
+        return _fp_words_mem(0) * 2 + _fp_words_mem(1)
+    return _fp_words_mem(aff[0]) + _fp_words_mem(aff[1]) + _fp_words_mem(1)
+
+
+def _p2_mem(aff) -> bytes:
+    if aff is None:
+        return _fp_words_mem(0) * 4 + _fp_words_mem(1) + _fp_words_mem(0)
+    (x0, x1), (y0, y1) = aff
+    return (
+        _fp_words_mem(x0)
+        + _fp_words_mem(x1)
+        + _fp_words_mem(y0)
+        + _fp_words_mem(y1)
+        + _fp_words_mem(1)
+        + _fp_words_mem(0)
+    )
+
+
+def blst_tables(ctx: EIP4844Context) -> Tuple[int, tuple]:
+    """(g1_table, g2_table) struct memory images: n1 x blst_p1 (144 B,
+    monomial basis, as loaded from the setup file — reference stores the
+    same basis) and n2 x blst_p2 (288 B)."""
+
+    def go():
+        s = ctx.setup
+        g1 = b"".join(_p1_mem(a) for a in s.g1_monomial)
+        g2 = b"".join(_p2_mem(a) for a in s.g2_monomial)
+        return (g1, g2)
+
+    return _wrap(go)

@@ -17,7 +17,7 @@ the spec, where the reference returns false (src/lib.rs:537-543) against
 its own doc comment (src/lib.rs:514).
 """
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from ..constants import (
     BYTES_PER_BLOB,
@@ -73,10 +73,53 @@ class EIP4844Context:
     rebuilds the whole SRS per call, src/srs.rs:258-280).
     """
 
-    def __init__(self, setup: TrustedSetup, backend=None):
+    def __init__(
+        self,
+        setup: Optional[TrustedSetup] = None,
+        backend=None,
+        config=None,
+        mesh=None,
+    ):
+        """setup=None loads the config's setup (default: bundled mainnet).
+
+        mesh: optional (data, points) jax.sharding.Mesh — runs every MSM
+        sharded over the mesh (see parallel/); or set
+        ``KZGConfig.mesh_shape`` / LWKZG_MESH_SHAPE=DxP.
+        """
+        from ..utils.config import KZGConfig
+
+        cfg = config if config is not None else KZGConfig.from_env()
+        if setup is None:
+            setup = cfg.load_setup()
         self.setup = setup
-        self.kzg = KZG(setup, backend=backend)
+        self.config = cfg
+        self.kzg = KZG(setup, backend=backend, config=cfg, mesh=mesh)
         self.n = setup.n
+
+    def warmup(self, batch_sizes: Sequence[int] = ()) -> None:
+        """Compile (or load from the persistent XLA cache) every kernel the
+        seven entry points use at this setup's shapes.
+
+        Cold first-call latency on a fresh machine is minutes (the fused
+        limb kernels are large XLA programs); after ``warmup()`` — or in
+        any later process sharing the persistent compile cache
+        (LWKZG_COMPILE_CACHE) — each entry point runs at steady-state
+        latency from its first call. ``batch_sizes`` additionally warms
+        the batched APIs at those blob counts (batch kernels specialize
+        on the batch dimension).
+        """
+        blob = b"\x00" * (self.n * BYTES_PER_FIELD_ELEMENT)
+        commitment = self.blob_to_kzg_commitment(blob)
+        z_bytes = (2).to_bytes(32, "big")
+        proof, y = self.compute_kzg_proof(blob, z_bytes)
+        self.verify_kzg_proof(commitment, z_bytes, y, proof)
+        bproof = self.compute_blob_kzg_proof(blob, commitment)
+        self.verify_blob_kzg_proof(blob, commitment, bproof)
+        for b in batch_sizes:
+            blobs = [blob] * b
+            cs = self.blob_to_kzg_commitment_batch(blobs)
+            ps = self.compute_blob_kzg_proof_batch(blobs, cs)
+            self.verify_blob_kzg_proof_batch(blobs, cs, ps)
 
     # -- the seven entry points ---------------------------------------------
     def blob_to_kzg_commitment(self, blob: bytes) -> bytes:

@@ -75,9 +75,15 @@ class HostBackend:
 class KZG:
     """Evaluation-form KZG commit / open / verify bound to one SRS."""
 
-    def __init__(self, setup: TrustedSetup, backend: Optional[object] = None):
+    def __init__(
+        self,
+        setup: TrustedSetup,
+        backend: Optional[object] = None,
+        config: Optional[object] = None,
+        mesh=None,
+    ):
         self.setup = setup
-        self.backend = backend or _default_backend(setup)
+        self.backend = backend or _default_backend(setup, config, mesh)
         # protocol G2 constants: [1]_2 and [s]_2 (reference srs.rs:254,274)
         self.g2_one = C.from_affine(C.FP2_OPS, setup.g2_monomial[0])
         self.g2_s = C.from_affine(C.FP2_OPS, setup.g2_monomial[1])
@@ -188,21 +194,13 @@ class KZG:
         return pairings_verify(rhs, self.g2_one, proof_lincomb, self.g2_s)
 
 
-def _default_backend(setup: TrustedSetup):
-    """Prefer the device backend when JAX is importable; fall back to host.
+def _default_backend(setup: TrustedSetup, config=None, mesh=None):
+    """Resolve the math backend through KZGConfig (prefer the device tier
+    when JAX is importable; fall back to the exact Python-int oracle).
 
-    LWKZG_BACKEND=host|device forces a tier (host = the exact Python-int
-    oracle, no JAX dependency on the call path)."""
-    import os
+    Environment overrides (LWKZG_BACKEND, LWKZG_MSM_WINDOW_BITS,
+    LWKZG_MESH_SHAPE) are collected by KZGConfig.from_env."""
+    from ..utils.config import KZGConfig
 
-    forced = os.environ.get("LWKZG_BACKEND")
-    if forced == "host":
-        return HostBackend(setup)
-    try:
-        from ..ops.backend import DeviceBackend
-
-        return DeviceBackend(setup)
-    except Exception:
-        if forced == "device":
-            raise
-        return HostBackend(setup)
+    cfg = config if config is not None else KZGConfig.from_env()
+    return cfg.make_backend(setup, mesh=mesh)

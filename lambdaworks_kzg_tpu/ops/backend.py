@@ -1,13 +1,20 @@
 """DeviceBackend: the TPU execution tier behind models/kzg.KZG.
 
 Holds the SRS as device-resident Montgomery limb arrays (created once —
-fixing the reference's per-call SRS reconversion, src/srs.rs:258-280) and
+fixing the reference's per-call SRS reconversion, src/srs.rs:258-380) and
 routes commit / evaluate / quotient through the JAX kernels in ops/.
 Bit-identical to models/kzg.HostBackend (the Python-int oracle); the
 consensus vectors pass through either backend.
+
+Multi-chip: pass a ``jax.sharding.Mesh`` with axes ``(data, points)``
+(see parallel/mesh.make_mesh). MSM points shard over ``points`` (window
+sums all_gather-ed over ICI and tree-combined with Jacobian adds); blob
+batches shard over ``data``. The reference processes batches sequentially
+on one thread (src/lib.rs:562-596); here every entry point transparently
+runs the same kernels sharded — same bits out on any mesh shape.
 """
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,35 +38,179 @@ def _auto_window(n: int) -> int:
     return 8
 
 
-class DeviceBackend:
-    """JAX/TPU math backend bound to one trusted setup."""
+def _ceil_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
 
-    def __init__(self, setup, window_bits: int = None):
+
+def _fixed_base_enabled(flag, n: int) -> bool:
+    """Fixed-base SRS tables: auto on real TPUs (where the one-time
+    table build is cheap), opt-in/out via LWKZG_FIXED_BASE=1|0."""
+    import os
+
+    env = os.environ.get("LWKZG_FIXED_BASE")
+    if env is not None:
+        return env != "0"
+    if flag is not None:
+        return flag
+    if n < 256:
+        return False  # tiny setups: the generic kernel is already fast
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _load_or_build_fixedbase(setup, points, valid, c):
+    """(table, table_valid) for the SRS, disk-cached by setup digest."""
+    import os
+
+    import jax
+
+    from ..models.srs import _CACHE_DIR
+
+    path = os.path.join(
+        _CACHE_DIR, f"fixedbase_{setup.source_digest[:16]}_c{c}.npz"
+    )
+    if os.path.exists(path):
+        data = np.load(path)
+        return jnp.asarray(data["table"]), jnp.asarray(data["valid"])
+    table, table_valid = msm.build_fixedbase_tables(points, valid, c)
+    table = jax.block_until_ready(table)
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        np.savez(path, table=np.asarray(table), valid=np.asarray(table_valid))
+    except OSError:
+        pass
+    return table, table_valid
+
+
+class DeviceBackend:
+    """JAX/TPU math backend bound to one trusted setup.
+
+    mesh: optional (data, points) jax.sharding.Mesh — when given, every
+    MSM runs sharded over the mesh and batched APIs shard the blob batch
+    over the ``data`` axis. Results are bit-identical to mesh=None.
+    """
+
+    def __init__(self, setup, window_bits: int = None, mesh=None,
+                 fixed_base: bool = None):
         self.setup = setup
         self.n = setup.n
         self.c = window_bits or _auto_window(self.n)
+        self.mesh = mesh
         self.points, self.valid = g1_ops.make_points_host(
             setup.g1_lagrange_brp
         )
+        self._fb = None
+        self._fb_groups = 8
+        if mesh is None and _fixed_base_enabled(fixed_base, self.n):
+            self._fb = _load_or_build_fixedbase(
+                setup, self.points, self.valid, self.c
+            )
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._points_axis = mesh.shape["points"]
+            self._data_axis = mesh.shape["data"]
+            if self.n % self._points_axis:
+                raise ValueError(
+                    f"setup size {self.n} not divisible by the points "
+                    f"mesh axis ({self._points_axis})"
+                )
+            # Shard the SRS once at init; steps then consume it in place
+            # (no per-call resharding).
+            self.points = jax.device_put(
+                self.points, NamedSharding(mesh, P(None, None, "points"))
+            )
+            self.valid = jax.device_put(
+                self.valid, NamedSharding(mesh, P("points"))
+            )
         self.domain = fr_poly.get_domain(self.n)
+
+    # -- MSM routing (single-chip kernel vs sharded step) --------------------
+    def _srs_msm_dispatch(self, scalars_plain: jnp.ndarray) -> jnp.ndarray:
+        """SRS-basis MSM, async: fixed-base single point [3, L, 1] when
+        tables are built, else generic window sums [3, L, W]."""
+        if self._fb is not None:
+            return msm.msm_fixedbase_device(
+                self._fb[0], self._fb[1], scalars_plain, self.c,
+                self._fb_groups,
+            )
+        return self._msm_ws(scalars_plain)
+
+    def _srs_msm_finalize(self, arr) -> object:
+        """Device result of _srs_msm_dispatch -> host Jacobian point."""
+        arr = np.asarray(arr)
+        if self._fb is not None:
+            return g1_ops.points_to_host(arr)[0]
+        return msm.combine_windows_host(arr, self.c)
+
+    def _msm_ws(self, scalars_plain: jnp.ndarray, points=None, valid=None, c=None):
+        """[16, N] plain scalars -> [3, L, W] window sums (device)."""
+        points = self.points if points is None else points
+        valid = self.valid if valid is None else valid
+        c = c or self.c
+        if self.mesh is None:
+            return msm.msm_device(points, valid, scalars_plain, c)
+        from ..parallel import msm as pmsm
+
+        return pmsm.make_msm_step(self.mesh, c)(points, valid, scalars_plain)
+
+    def _msm_ws_batch(self, scalars_batch: jnp.ndarray) -> List[np.ndarray]:
+        """[B, 16, N] plain scalars -> list of [3, L, W] window sums (host).
+
+        mesh=None: pipelined per-blob dispatch, ONE device sync.
+        mesh: the batch shards over ``data``, points over ``points``
+        (the multi-chip form of the reference's sequential batch loop).
+        """
+        import jax
+
+        b = scalars_batch.shape[0]
+        if self.mesh is None:
+            results = [
+                self._srs_msm_dispatch(scalars_batch[i]) for i in range(b)
+            ]
+            return list(np.asarray(jnp.stack(results)))
+        from ..parallel import msm as pmsm
+
+        d = self._data_axis
+        pad = (-b) % d
+        if pad:
+            scalars_batch = jnp.concatenate(
+                [scalars_batch, jnp.zeros_like(scalars_batch[:pad])], axis=0
+            )
+        step = pmsm.make_batch_msm_step(self.mesh, self.c)
+        ws = step(self.points, self.valid, scalars_batch)
+        return list(np.asarray(ws)[:b])
 
     # -- core ops ------------------------------------------------------------
     def commit(self, evals: Sequence[int]):
         """MSM over the brp-Lagrange basis -> host Jacobian G1 point."""
         scalars = msm.scalars_to_device(list(evals))
-        return msm.msm(self.points, self.valid, scalars, c=self.c)
+        return self._srs_msm_finalize(self._srs_msm_dispatch(scalars))
 
     def msm(self, scalars: Sequence[int], points_affine) -> object:
         """General MSM over arbitrary affine points (batch-verify lincombs,
-        reference src/lib.rs:679-685) on the device kernels."""
+        reference src/lib.rs:679-685) on the device kernels.
+
+        On a mesh the point list is padded (invalid lanes) to a
+        power-of-two multiple of the points axis so shard shapes stay
+        uniform and the jit cache stays small."""
         points = list(points_affine)
+        scalars = list(scalars)
+        c = _auto_window(len(points))
+        if self.mesh is not None:
+            pa = self._points_axis
+            target = pa * _ceil_pow2(-(-len(points) // pa))
+            pad = target - len(points)
+            points = points + [None] * pad
+            scalars = scalars + [0] * pad
         pts, valid = g1_ops.make_points_host(points)
-        return msm.msm(
-            pts,
-            valid,
-            msm.scalars_to_device(list(scalars)),
-            c=_auto_window(len(points)),
-        )
+        ws = self._msm_ws(msm.scalars_to_device(scalars), pts, valid, c)
+        return msm.combine_windows_host(np.asarray(ws), c)
 
     def commit_blob(self, blob: bytes):
         """Fast path: raw blob bytes -> host Jacobian G1 point.
@@ -72,17 +223,16 @@ class DeviceBackend:
         from . import codec
 
         limbs = jnp.asarray(codec.blob_to_limbs(blob, self.n))
-        return msm.msm(self.points, self.valid, limbs, c=self.c)
+        return self._srs_msm_finalize(self._srs_msm_dispatch(limbs))
 
     def commit_blobs(self, blobs):
-        """Batched commit: all MSMs dispatched async, one device sync.
+        """Batched commit: all MSMs dispatched async, one device sync
+        (mesh=None), or sharded over the ``data`` axis (mesh).
 
         The serving-throughput path (the reference loops blobs
         sequentially, src/lib.rs:562-596); ~3x the sync-latency rate on
         a tunnel-attached chip.
         """
-        import jax
-
         from . import codec
 
         # ONE stacked transfer (each host->device put pays a full RTT on
@@ -90,31 +240,22 @@ class DeviceBackend:
         stacked = jnp.asarray(
             np.stack([codec.blob_to_limbs(bytes(b), self.n) for b in blobs])
         )
-        window_sums = [
-            msm.msm_device(self.points, self.valid, stacked[i], self.c)
-            for i in range(len(blobs))
-        ]
-        # ONE device->host fetch (per-array np.asarray pays an RTT each)
-        fetched = np.asarray(jnp.stack(window_sums))
-        return [msm.combine_windows_host(w, self.c) for w in fetched]
+        fetched = self._msm_ws_batch(stacked)
+        return [self._srs_msm_finalize(w) for w in fetched]
 
     def commit_scalars_device(self, scalars_plain: jnp.ndarray):
         """Same, but from an already-device [16, n] plain limb array."""
-        return msm.msm(self.points, self.valid, scalars_plain, c=self.c)
+        return self._srs_msm_finalize(self._srs_msm_dispatch(scalars_plain))
 
     def evaluate(self, evals: Sequence[int], z: int) -> int:
         return self.domain.evaluate(list(evals), z)
 
     def quotient(self, evals: Sequence[int], z: int, y: int) -> List[int]:
         q_plain = self.domain.quotient_plain_device(list(evals), z, y)
-        from . import limbs as lb
-
         return lb.limbs_to_ints(np.asarray(q_plain))
 
     def evaluate_blobs(self, blobs, zs) -> List[int]:
         """Batched barycentric evaluation straight from blob bytes."""
-        import numpy as np
-
         from . import codec
 
         plain = np.stack(
@@ -126,8 +267,6 @@ class DeviceBackend:
         """Batched device decompression+subgroup check -> host Jacobians.
 
         Raises ValueError naming the first bad index."""
-        import numpy as np
-
         from . import g1_batch
 
         pts_aff, is_inf, err = g1_batch.decompress_batch(list(compressed))
@@ -141,7 +280,7 @@ class DeviceBackend:
         """(proof point, y) with the quotient staying on-device end-to-end."""
         y = self.evaluate(evals, z)
         q_plain = self.domain.quotient_plain_device(list(evals), z % R, y)
-        proof = msm.msm(self.points, self.valid, q_plain, c=self.c)
+        proof = self._srs_msm_finalize(self._srs_msm_dispatch(q_plain))
         return proof, y
 
     # -- blob-native fast paths (no per-element Python conversions) ---------
@@ -150,19 +289,15 @@ class DeviceBackend:
 
     def open_blobs(self, blobs, zs):
         """Batched (proof, y) for many blobs: one stacked transfer, ONE
-        batched eval kernel, ONE batched quotient kernel, pipelined MSMs,
-        one stacked fetch. (Per-blob kernels ran ~50 ms of XLA-tier Fr
-        work each; batching them amortizes it across the batch.)
+        batched eval kernel, ONE batched quotient kernel, pipelined (or
+        data-sharded) MSMs, one stacked fetch.
 
         Falls back to the per-blob path for z-in-domain lanes (rare)."""
-        import jax
-
         from ..constants import R as _R
         from . import codec
 
         zs = [z % _R for z in zs]
         if any(self.domain.root_index.get(z) is not None for z in zs):
-            plains = [codec.blob_to_limbs(bytes(b), self.n) for b in blobs]
             return [self.open_blob(b, z) for b, z in zip(blobs, zs)]
 
         plains = [codec.blob_to_limbs(bytes(b), self.n) for b in blobs]
@@ -176,16 +311,12 @@ class DeviceBackend:
         )
         y_m = self.domain._eval_kernel(evals_m, z_m, zn1)  # [B, 16, 1]
         q_plain = self.domain._quotient_kernel(evals_m, y_m, z_m)  # [B,16,n]
-        window_sums = [
-            msm.msm_device(self.points, self.valid, q_plain[i], self.c)
-            for i in range(len(blobs))
-        ]
-        fetched_ws = np.asarray(jnp.stack(window_sums))
+        fetched_ws = self._msm_ws_batch(q_plain)
         ys = FR.from_mont_host(
             np.asarray(y_m).transpose(1, 0, 2).reshape(16, len(blobs))
         )
         return [
-            (msm.combine_windows_host(fetched_ws[i], self.c), ys[i])
+            (self._srs_msm_finalize(fetched_ws[i]), ys[i])
             for i in range(len(blobs))
         ]
 
@@ -213,8 +344,8 @@ class DeviceBackend:
         q_plain = self.domain.quotient_plain_from_mont(
             evals_m, z, y_m if y_m is not None else 0
         )
-        window_sums = msm.msm_device(self.points, self.valid, q_plain, self.c)
+        result = self._srs_msm_dispatch(q_plain)
         if y_m is not None:
             y = FR.from_mont_host(np.asarray(y_m))[0]
-        proof = msm.combine_windows_host(np.asarray(window_sums), self.c)
+        proof = self._srs_msm_finalize(result)
         return proof, y

@@ -2,13 +2,23 @@
 
 LWKZG_PALLAS=1/0 overrides (1 uses Pallas interpret mode off-TPU: exact
 but slow — for differential testing only).
+
+Lane-count canonicalization: each distinct Pallas lane shape costs a
+~45 s Mosaic compile on TPU (measured; the round-1 fold-reduce
+instantiated ~14 add shapes — a 10-minute cold start by itself). The
+wrappers pad the lane axis to the next power of two (min 512) so every
+call site shares a small bounded set of compiled kernels; pad lanes are
+infinity/dead and are sliced off the result.
 """
 
 import os
 
 import jax
+import jax.numpy as jnp
 
 from . import g1_ops as g1
+
+_MIN_LANES = 512
 
 
 def use_pallas() -> bool:
@@ -22,11 +32,31 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _canon(m: int) -> int:
+    t = _MIN_LANES
+    while t < m:
+        t *= 2
+    return t
+
+
+def _pad(arr, m_to):
+    m = arr.shape[-1]
+    if m == m_to:
+        return arr
+    pad = [(0, 0)] * (arr.ndim - 1) + [(0, m_to - m)]
+    return jnp.pad(arr, pad)
+
+
 def madd(p, q_aff, q_valid):
     if use_pallas():
         from . import pallas_g1
 
-        return pallas_g1.madd(p, q_aff, q_valid, interpret=_interp())
+        m = p.shape[-1]
+        t = _canon(m)
+        out = pallas_g1.madd(
+            _pad(p, t), _pad(q_aff, t), _pad(q_valid, t), interpret=_interp()
+        )
+        return out[..., :m]
     return g1.madd(p, q_aff, q_valid)
 
 
@@ -34,7 +64,10 @@ def add(p, q):
     if use_pallas():
         from . import pallas_g1
 
-        return pallas_g1.add(p, q, interpret=_interp())
+        m = p.shape[-1]
+        t = _canon(m)
+        out = pallas_g1.add(_pad(p, t), _pad(q, t), interpret=_interp())
+        return out[..., :m]
     return g1.add(p, q)
 
 
@@ -42,5 +75,7 @@ def dbl(p):
     if use_pallas():
         from . import pallas_g1
 
-        return pallas_g1.dbl(p, interpret=_interp())
+        m = p.shape[-1]
+        t = _canon(m)
+        return pallas_g1.dbl(_pad(p, t), interpret=_interp())[..., :m]
     return g1.dbl(p)

@@ -9,15 +9,21 @@ TPU formulation (SIMD-friendly, no data-dependent scatter):
   2. per-window argsort by digit (groups bucket members contiguously)
   3. bucket start offsets via vectorized searchsorted  [W, 2^c]
   4. bucket accumulation: all W*2^c buckets advance in lockstep on a
-     flat lane axis M = W*2^c, each masked-mixed-adding its t-th member;
-     the while_loop runs max-bucket-load times
+     flat lane axis M = W*2^c; members arrive via CHUNKED BULK gathers
+     (one big take per CHUNK slots — bulk takes run near HBM bandwidth,
+     per-iteration takes do not), then CHUNK contiguous-slice madds;
+     the while_loop runs ~max-bucket-load/CHUNK rounds
   5. bucket reduction: suffix scan + pairwise tree, both as flat lane
-     rolls masked at window boundaries (log2(2^c) rounds each)
+     rolls masked at window boundaries, every round at the SAME [3,L,M]
+     shape (one compiled kernel; see ops/dispatch.py on Mosaic compile
+     cost per shape)
   6. the W window sums return to the host for the final Horner combine
      (sequential 255 doublings — wrong shape for the VPU, trivial on host)
 
 The multi-chip version shards steps 1-4 over points (parallel/) and
-tree-combines per-device bucket arrays with point adds over ICI.
+tree-combines per-device bucket arrays with point adds over ICI. For the
+FIXED SRS basis, the fixed-base variant below removes the Horner combine
+and the per-window skew entirely via precomputed per-window tables.
 """
 
 import functools
@@ -106,38 +112,85 @@ def bucket_accumulate(
     buckets0 = g1.infinity_like((), m_total)
     live_bucket = (bucket_ids != 0)[None, :]  # [1, 2^c]
 
-    # Point-major copy for the per-iteration gather: rows of 2*L
-    # contiguous words instead of N-strided single words — the
-    # minor-dim gather was as expensive as the madd itself at 2^20.
-    points_rowmajor = jnp.transpose(points, (2, 0, 1))  # [N, 2, L]
+    # Point-major copy, rows PADDED to 128 words: XLA's row gather is
+    # per-row-overhead-bound (~81 ns at 192 B vs ~40 ns at 512 B rows,
+    # measured on v5e) — padding the row to the 512-byte DMA sweet spot
+    # halves gather cost for 2.7x the (cheap) HBM footprint.
+    l = points.shape[1]
+    rowm = jnp.transpose(points, (2, 0, 1)).reshape(n, 2 * l)  # [N, 2L]
+    points_rowmajor = jnp.pad(rowm, ((0, 0), (0, 128 - 2 * l)))
+
+    # Chunked accumulation: gather CHUNK slots for every bucket lane in
+    # ONE bulk take per outer round (bulk takes run near HBM bandwidth;
+    # the old per-madd gather serialized one small take per loop
+    # iteration and cost as much as the madd at 2^20), then run CHUNK
+    # contiguous-slice madds. Rounds overshoot max_load by < CHUNK slots
+    # (dead lanes masked) — negligible beyond toy sizes.
+    chunk = max(1, min(32, n))
+    order_flat = order.reshape(-1)  # [W*N]
+    w_off = (jnp.arange(num_windows, dtype=jnp.int32) * n)[:, None]  # [W,1]
 
     def body(carry):
-        t, buckets = carry
-        idx = starts + t  # [W, 2^c]
-        live = jnp.logical_and(idx < ends, live_bucket)
+        base, buckets = carry
+        t_off = base + jnp.arange(chunk, dtype=jnp.int32)[:, None, None]
+        idx = starts[None] + t_off  # [chunk, W, 2^c]
+        live = jnp.logical_and(idx < ends[None], live_bucket[None])
         idx_c = jnp.minimum(idx, n - 1)
-        pt_idx = jnp.take_along_axis(order, idx_c, axis=1)  # [W, 2^c]
-        rows = jnp.take(points_rowmajor, pt_idx.reshape(-1), axis=0)
-        gathered = jnp.transpose(rows, (1, 2, 0))  # [2, L, M]
-        buckets = _madd(buckets, gathered, live.reshape(-1))
-        return (t + 1, buckets)
+        flat = (w_off[None] + idx_c).reshape(-1)
+        pt_idx = jnp.take(order_flat, flat)  # [chunk*W*2^c]
+        rows = jnp.take(points_rowmajor, pt_idx, axis=0)  # [*, 128]
+        gathered = jnp.transpose(
+            rows[:, : 2 * l].reshape(chunk, m_total, 2, l), (0, 2, 3, 1)
+        )  # [chunk, 2, L, M]
+        live_flat = live.reshape(chunk, m_total)
+
+        def inner(t, b):
+            g = jax.lax.dynamic_index_in_dim(gathered, t, 0, keepdims=False)
+            lv = jax.lax.dynamic_index_in_dim(live_flat, t, 0, keepdims=False)
+            return _madd(b, g, lv)
+
+        buckets = jax.lax.fori_loop(0, chunk, inner, buckets)
+        return (base + chunk, buckets)
 
     def cond(carry):
-        t, _ = carry
-        return t < max_load
+        base, _ = carry
+        return base < max_load
 
     _, buckets = jax.lax.while_loop(cond, body, (jnp.int32(0), buckets0))
     return buckets
 
 
 def _tree_sum_lanes(arr4: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise point-sum over the last (bucket) axis of [3, L, W, k]."""
-    while arr4.shape[-1] > 1:
-        k = arr4.shape[-1] // 2
-        lo = _flat(arr4[..., :k])
-        hi = _flat(arr4[..., k : 2 * k])
-        arr4 = _add(lo, hi).reshape(arr4.shape[:-1] + (k,))
-    return arr4[..., 0]  # [3, L, W]
+    """Pairwise point-sum over the last (bucket) axis of [3, L, W, k].
+
+    k must be a power of two. Shape-INVARIANT: every round is a masked
+    roll-add on the same flat [3, L, W*k] array, so all rounds share one
+    compiled kernel shape (each distinct Pallas lane shape costs ~45 s of
+    Mosaic compile — see ops/dispatch.py)."""
+    from . import dispatch
+
+    w, k = arr4.shape[-2], arr4.shape[-1]
+    assert k & (k - 1) == 0, "tree width must be a power of two"
+    if dispatch.use_pallas():
+        # pairwise halving: ~W*k lane-adds total; shrinking shapes land
+        # on the canonical {512..8192} Pallas ladder (ops/dispatch.py)
+        while arr4.shape[-1] > 1:
+            half = arr4.shape[-1] // 2
+            lo = _flat(arr4[..., :half])
+            hi = _flat(arr4[..., half : 2 * half])
+            arr4 = _add(lo, hi).reshape(arr4.shape[:-1] + (half,))
+        return arr4[..., 0]  # [3, L, W]
+    # CPU: masked roll-adds at ONE fixed shape (multi-shape XLA limb
+    # graphs were a >30-minute CPU compile in round 1)
+    arr = _flat(arr4)
+    idx = jnp.arange(w * k) % k
+    while k > 1:
+        half = k // 2
+        rolled = jnp.roll(arr, -half, axis=-1)
+        summed = _add(arr, rolled)
+        arr = jnp.where((idx < half)[None, None, :], summed, arr)
+        k = half
+    return arr[..., :: arr4.shape[-1]]  # [3, L, W]
 
 
 def _flat(arr4: jnp.ndarray) -> jnp.ndarray:
@@ -153,20 +206,25 @@ def _top_window_split(c: int) -> bool:
     return 256 % c == 0
 
 
-def bucket_reduce(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
+def bucket_reduce(buckets: jnp.ndarray, c: int, merge_top: bool = True) -> jnp.ndarray:
     """[3, L, M] buckets -> [3, L, W] window sums S_w = sum_b b*B_b.
 
-    Two algorithms, selected by platform:
-      * fold-reduce (TPU): ~5x less point-add work, but its ~3c distinct
-        array shapes make the XLA *CPU* compile pathological (>30 min at
-        c=8 vs seconds for the scan);
-      * suffix-scan (CPU): two fori_loops with shape-invariant bodies —
-        compiles in seconds, runtime only matters on real chips.
-    Both are exact and produce identical bits (tests/test_curve.py).
+    TPU: fold-reduce (~3*2^c adds per window; its halving shapes land on
+    the canonical {512..8192} Pallas ladder, so the Mosaic compile count
+    stays bounded — round 1's unbounded shapes were a 10-minute cold
+    start by themselves). CPU: suffix-scan — two fori_loops whose bodies
+    are masked roll-adds at ONE fixed [3, L, M] shape (XLA CPU compiles
+    of many-shape limb graphs took >30 minutes); the scan's extra ~2c
+    full-width adds only matter on real chips (~19 ms at M = 8192,
+    ~143 ns per in-loop lane-add measured).
     """
+    arr = _zero_bucket0(buckets, c)
+    if merge_top:  # generic path only: bucket_accumulate alias-splits the
+        # top window; the fixed-base grid has no top window (lanes are
+        # groups) and must NOT be merged
+        arr = _merge_top_aliases(arr, c)
     from . import dispatch
 
-    arr = _merge_top_aliases(_zero_bucket0(buckets, c), c)
     if dispatch.use_pallas():
         return _bucket_reduce_fold(arr, c)
     return _bucket_reduce_scan(arr, c)
@@ -180,7 +238,8 @@ def _zero_bucket0(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
 
 def _merge_top_aliases(arr: jnp.ndarray, c: int) -> jnp.ndarray:
     """Merge the top window's alias lanes (bucket b's second copy lives
-    at lane b + 2^(c-1); see bucket_accumulate)."""
+    at lane b + 2^(c-1); see bucket_accumulate). One half-window-wide
+    add (canonicalized to a 512-lane kernel on TPU)."""
     if not _top_window_split(c):
         return arr
     num_buckets = 1 << c
@@ -197,12 +256,12 @@ def _merge_top_aliases(arr: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _bucket_reduce_fold(arr: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Fold-reduce: splitting the buckets at h = 2^(c-1) gives
+    """Fold-reduce (TPU): splitting the buckets at h = 2^(c-1) gives
       sum_b b*B_b = sum_{j<h} j*(B_j + B_{j+h}) + h * sum_{j<h} B_{j+h},
     so each round folds the bucket axis in half (h/2 point adds per
     window) and banks the high-half total E_r; the answer is the Horner
-    combine sum_r 2^(c-r) * E_r. ~3*2^c adds per window vs ~2c*2^c for
-    the scan, all on contiguous flattened lane blocks."""
+    combine sum_r 2^(c-r) * E_r. ~3 ms vs the scan's ~19 ms at M = 8192.
+    """
     num_buckets = 1 << c
     w = arr.shape[-1] // num_buckets
     arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
@@ -282,3 +341,146 @@ def scalars_to_device(scalar_ints) -> jnp.ndarray:
     return jnp.asarray(
         lb.ints_to_limbs([s % FR.modulus for s in scalar_ints], 16)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base MSM: precomputed per-window point tables for the SRS
+# ---------------------------------------------------------------------------
+# The commitment basis is FIXED for the life of a trusted setup, so the
+# per-window shifts [2^(c*w)]P_i can be precomputed once. The MSM then
+# collapses to a SINGLE window: the W*N (digit, shifted-point) pairs all
+# feed one 2^c-bucket grid (split across G lane groups for VPU
+# occupancy), which
+#   * removes the sequential c-doubling Horner combine entirely
+#     (sum_b b*(sum_g B_{g,b}) needs no window weighting), and
+#   * replaces per-window bucket skew with global skew: bucket loads are
+#     Binomial(W*N, 2^-c), so max/mean ~ 1.1 instead of ~2 at 2^12.
+# ~1.6x less lockstep madd work than the generic kernel at the 4096
+# protocol shape, measured on chip. Tables: W*N affine points (25 MB at
+# c=8) built on device once and disk-cached next to the SRS cache.
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def build_fixedbase_tables(points, valid, c: int):
+    """[2, L, N] affine + valid -> ([2, L, W*N] affine table, err bit).
+
+    Table entry (w, i) = [2^(c*w)] P_i, affine Montgomery; invalid source
+    lanes stay invalid in every window. Batch affine conversion via one
+    Fermat inversion over all W*N lanes."""
+    from .field_ops import FP
+    from . import g1_ops as g1
+
+    num_windows = (256 + c - 1) // c
+    l = points.shape[1]
+    n = points.shape[2]
+    one = jnp.broadcast_to(FP.ONE_limbs, (l, n)).astype(jnp.uint32)
+    z = jnp.where(valid[None, :], one, 0)
+    jac = jnp.stack([points[0], points[1], z], axis=0)
+
+    # scan over windows, fori over the c doublings: ONE dbl instance in
+    # the program (unrolling W*c doublings was a compile bomb — minutes
+    # of XLA/Mosaic compile for a one-time table build)
+    def shift(p, _):
+        p2 = jax.lax.fori_loop(0, c, lambda i, q: _dbl(q), p)
+        return p2, p  # emit the state BEFORE shifting: dbl^(c*w)(jac)
+
+    _, ys = jax.lax.scan(shift, jac, None, length=num_windows)
+    all_jac = jnp.transpose(ys, (1, 2, 0, 3)).reshape(3, l, num_windows * n)
+
+    # batch affine: x = X/Z^2, y = Y/Z^3 (Z=0 lanes -> 0/invalid)
+    Z = all_jac[2]
+    zinv = FP.inv(Z)
+    zinv2 = FP.sqr(zinv)
+    x = FP.mul(all_jac[0], zinv2)
+    y = FP.mul(all_jac[1], FP.mul(zinv, zinv2))
+    table = jnp.stack([x, y], axis=0)
+    table_valid = jnp.tile(valid, (num_windows,))
+    return table, table_valid
+
+
+def fixedbase_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """[16, N] plain scalars -> flat digits [W*N] (member (w, i) at
+    w*N + i, matching build_fixedbase_tables' layout)."""
+    return window_digits(scalars, c).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "groups"))
+def msm_fixedbase_device(table, table_valid, scalars, c: int = 8,
+                         groups: int = 8):
+    """Fixed-base MSM -> ONE Jacobian point [3, L, 1] (device).
+
+    Accumulation: members sorted by digit globally; bucket b's run is
+    dealt round-robin to `groups` lane groups (lane (g, b), stride G),
+    so every group-bucket's load is ceil(k_b / G) — near-uniform. The
+    existing bucket_reduce then treats groups as windows, and the group
+    sums S_g simply add up (no Horner: window weights are baked into the
+    table)."""
+    from . import dispatch
+
+    n_members = table.shape[-1]
+    num_buckets = 1 << c
+    digits = fixedbase_digits(scalars, c)
+    digits = jnp.where(table_valid, digits, 0)
+
+    order = jnp.argsort(digits)
+    sorted_digits = jnp.take(digits, order)
+    bucket_ids = jnp.arange(num_buckets, dtype=sorted_digits.dtype)
+    bstart = jnp.searchsorted(sorted_digits, bucket_ids, side="left").astype(
+        jnp.int32
+    )
+    bend = jnp.concatenate(
+        [bstart[1:], jnp.asarray([n_members], dtype=jnp.int32)]
+    )
+
+    g_idx = jnp.arange(groups, dtype=jnp.int32)[:, None]  # [G, 1]
+    starts = bstart[None, :] + g_idx          # [G, 2^c]
+    ends = bend[None, :]                      # [1, 2^c] broadcasts
+    counts = jnp.maximum(0, bend - bstart)
+    max_load = (jnp.max(counts[1:]) + groups - 1) // groups
+
+    m_total = groups * num_buckets
+    buckets0 = g1.infinity_like((), m_total)
+    live_bucket = (bucket_ids != 0)[None, :]
+    l = table.shape[1]
+    # 128-word padded rows: see bucket_accumulate on gather row size
+    rowm = jnp.transpose(table, (2, 0, 1)).reshape(n_members, 2 * l)
+    points_rowmajor = jnp.pad(rowm, ((0, 0), (0, 128 - 2 * l)))
+    chunk = max(1, min(16, (n_members + groups - 1) // groups))
+
+    def body(carry):
+        base, buckets = carry
+        t_off = (base + jnp.arange(chunk, dtype=jnp.int32))[:, None, None]
+        idx = starts[None] + t_off * groups  # [chunk, G, 2^c]
+        live = jnp.logical_and(idx < ends[None], live_bucket[None])
+        idx_c = jnp.minimum(idx, n_members - 1)
+        pt_idx = jnp.take(order, idx_c.reshape(-1))
+        rows = jnp.take(points_rowmajor, pt_idx, axis=0)
+        gathered = jnp.transpose(
+            rows[:, : 2 * l].reshape(chunk, m_total, 2, l), (0, 2, 3, 1)
+        )
+        live_flat = live.reshape(chunk, m_total)
+
+        def inner(t, b):
+            g = jax.lax.dynamic_index_in_dim(gathered, t, 0, keepdims=False)
+            lv = jax.lax.dynamic_index_in_dim(live_flat, t, 0, keepdims=False)
+            return _madd(b, g, lv)
+
+        return (base + chunk, jax.lax.fori_loop(0, chunk, inner, buckets))
+
+    def cond(carry):
+        base, _ = carry
+        return base < max_load
+
+    _, buckets = jax.lax.while_loop(cond, body, (jnp.int32(0), buckets0))
+
+    group_sums = bucket_reduce(buckets, c, merge_top=False)  # [3, L, G]
+    # no Horner: just sum the groups (pairwise tree on the lane axis)
+    return _tree_sum_lanes(
+        group_sums.reshape(group_sums.shape[:-1] + (1, groups))
+    )  # [3, L, 1]
+
+
+def msm_fixedbase(table, table_valid, scalars, c: int = 8, groups: int = 8):
+    """Fixed-base MSM -> host Jacobian point (Python ints)."""
+    pt = np.asarray(msm_fixedbase_device(table, table_valid, scalars, c, groups))
+    return g1.points_to_host(pt)[0]

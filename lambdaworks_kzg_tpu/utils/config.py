@@ -1,16 +1,25 @@
-"""Frozen runtime configuration (SURVEY.md §5 "config system").
+"""Runtime configuration (SURVEY.md §5 "config system").
 
 The reference hard-codes its parameters as compile-time constants
 (reference src/lib.rs:59-98) and a C build macro (src/c_kzg_4844.h:39-67).
-Here one frozen dataclass carries them plus the TPU-specific knobs, and
-the environment overrides are documented in a single place:
+Here one frozen dataclass carries them plus the TPU-specific knobs, and it
+is the single decision point for backend / window / mesh selection:
+``KZG``/``EIP4844Context`` resolve their backend through
+``KZGConfig.make_backend`` (models/kzg._default_backend).
 
-  LWKZG_BACKEND=host|device   force the math tier
-  LWKZG_PALLAS=0|1            force/disable fused Mosaic kernels
-  LWKZG_COMPILE_CACHE=0       disable the persistent XLA compile cache
+Environment overrides (all collected by ``KZGConfig.from_env``):
+
+  LWKZG_BACKEND=host|device     force the math tier
+  LWKZG_MSM_WINDOW_BITS=N       Pippenger window override (must divide 256)
+  LWKZG_MESH_SHAPE=DxP          build a (data, points) device mesh, e.g. 2x4
+  LWKZG_TRUSTED_SETUP=<path>    trusted setup file to load by default
+  LWKZG_PALLAS=0|1              force/disable fused Mosaic kernels
+  LWKZG_NATIVE=0                disable the native C++ tier
+  LWKZG_COMPILE_CACHE=0|<path>  disable / relocate the XLA compile cache
 """
 
-from dataclasses import dataclass, field
+import os
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 from ..constants import (
@@ -40,10 +49,10 @@ class KZGConfig:
     # device mesh shape (data, points); None = single chip
     mesh_shape: Optional[Tuple[int, int]] = None
 
-    # trusted setup source (None = bundled mainnet cache)
+    # trusted setup source (None = bundled mainnet setup)
     trusted_setup_path: Optional[str] = None
 
-    # math tier: None = auto (device when JAX+TPU present)
+    # math tier: None = auto (device when JAX present)
     backend: Optional[str] = None
 
     def validate(self) -> "KZGConfig":
@@ -54,7 +63,69 @@ class KZGConfig:
             raise ValueError("msm_window_bits must divide 256")
         if self.backend not in (None, "host", "device"):
             raise ValueError("backend must be host|device|None")
+        if self.mesh_shape is not None:
+            d, p = self.mesh_shape
+            if d < 1 or p < 1:
+                raise ValueError("mesh_shape axes must be >= 1")
         return self
+
+    @staticmethod
+    def from_env() -> "KZGConfig":
+        """Collect the documented LWKZG_* environment overrides."""
+        mesh = os.environ.get("LWKZG_MESH_SHAPE")
+        mesh_shape = None
+        if mesh:
+            try:
+                d, p = mesh.lower().split("x")
+                mesh_shape = (int(d), int(p))
+            except ValueError as e:
+                raise ValueError(
+                    f"LWKZG_MESH_SHAPE must look like '2x4', got {mesh!r}"
+                ) from e
+        window = os.environ.get("LWKZG_MSM_WINDOW_BITS")
+        return KZGConfig(
+            msm_window_bits=int(window) if window else None,
+            mesh_shape=mesh_shape,
+            trusted_setup_path=os.environ.get("LWKZG_TRUSTED_SETUP") or None,
+            backend=os.environ.get("LWKZG_BACKEND") or None,
+        ).validate()
+
+    # -- consumers ----------------------------------------------------------
+    def make_mesh(self):
+        """Build the (data, points) jax Mesh this config names, or None."""
+        if self.mesh_shape is None:
+            return None
+        from ..parallel.mesh import make_mesh
+
+        return make_mesh(data=self.mesh_shape[0], points=self.mesh_shape[1])
+
+    def make_backend(self, setup, mesh=None):
+        """Resolve the math backend for a setup (the single decision
+        point used by models/kzg.KZG)."""
+        from ..models.kzg import HostBackend
+
+        if self.backend == "host":
+            return HostBackend(setup)
+        try:
+            from ..ops.backend import DeviceBackend
+
+            return DeviceBackend(
+                setup,
+                window_bits=self.msm_window_bits,
+                mesh=mesh if mesh is not None else self.make_mesh(),
+            )
+        except Exception:
+            if self.backend == "device":
+                raise
+            return HostBackend(setup)
+
+    def load_setup(self):
+        """Load the trusted setup this config names (default: mainnet)."""
+        from ..models import srs
+
+        if self.trusted_setup_path:
+            return srs.load_trusted_setup_file(self.trusted_setup_path)
+        return srs.load_mainnet_setup()
 
 
 DEFAULT_CONFIG = KZGConfig().validate()
