@@ -67,17 +67,15 @@ def main():
         best = min(best, time.perf_counter() - t0)
     device_ms = best * 1e3
 
-    # pipelined throughput: dispatch 16 MSMs async, block once (the dev
-    # chip sits behind a ~40ms RTT tunnel; serving pipelines)
+    # pipelined throughput: dispatch 16 commit MSMs async (through the
+    # production path — fixed-base tables when built), block once (the
+    # dev chip sits behind a ~40ms RTT tunnel; serving pipelines)
     dls = [
         jnp.asarray(codec.blob_to_limbs(_rand_blob(setup.n, rng), setup.n))
         for _ in range(16)
     ]
     t0 = time.perf_counter()
-    outs = [
-        msm1.msm_device(backend.points, backend.valid, d, backend.c)
-        for d in dls
-    ]
+    outs = [backend._srs_msm_dispatch(d) for d in dls]
     jax.block_until_ready(outs)
     pipelined_ms = (time.perf_counter() - t0) / 16 * 1e3
 
@@ -121,13 +119,19 @@ def main():
         )
 
     # -- MSM points/sec at 2^12 and 2^20 (device kernel, warm) ---------------
+    # 2^12 measured PIPELINED (16 async dispatches, one sync): the sync
+    # latency at this size is dominated by the ~40ms tunnel RTT, not the
+    # kernel (round-1 bench under-reported it 3x)
     points, valid = backend.points, backend.valid
     scalars = jnp.asarray(codec.blob_to_limbs(blobs[1], setup.n))
-    run = lambda: jax.block_until_ready(
-        msm1.msm_device(points, valid, scalars, backend.c)
-    )
-    run()
-    extras["msm_2e12_pps"] = round(setup.n / _time_best(lambda: run(), 3))
+    jax.block_until_ready(msm1.msm_device(points, valid, scalars, backend.c))
+    t0 = time.perf_counter()
+    outs = [
+        msm1.msm_device(points, valid, d, backend.c) for d in dls
+    ]
+    jax.block_until_ready(outs)
+    extras["msm_2e12_pps"] = round(setup.n * 16 / (time.perf_counter() - t0))
+    extras["fixed_base"] = backend._fb is not None
 
     if os.environ.get("BENCH_SKIP_2E20") != "1":
         reps = (1 << 20) // setup.n

@@ -1,0 +1,119 @@
+"""AOT-exported program cache: the actual cold-start fix.
+
+Measured on the v5e chip: a fresh process's first commit call costs
+minutes even with a WARM persistent XLA compile cache — the time is
+client-side Pallas/Mosaic LOWERING (~45 s per kernel shape), which runs
+BEFORE the compile cache is consulted (the cache keys on the lowered
+program). `jax.export` serializes the lowered program — Mosaic custom
+calls included — so a fresh process skips lowering entirely:
+
+    no artifacts:            first call ~265-600 s
+    artifact, cold XLA cache: first call ~37 s  (XLA compile only)
+    artifact + warm cache:    first call ~3.5 s
+
+Artifacts live next to the SRS caches (cache/aot_*.jaxexp), keyed by a
+digest of the kernel source files + jax version + device kind, so stale
+artifacts are never reused after a code or platform change. Any failure
+(old jax, platform mismatch, corrupt file) falls back to the normal jit
+path. LWKZG_AOT=0 disables.
+"""
+
+import hashlib
+import os
+from typing import Tuple
+
+_cache = {}  # key -> deserialized jax.export.Exported
+_code_digest_memo = None
+
+_SRC_MODULES = (
+    "limbs",
+    "field_ops",
+    "formulas",
+    "g1_ops",
+    "pallas_g1",
+    "dispatch",
+    "msm",
+)
+
+
+def _code_digest() -> str:
+    global _code_digest_memo
+    if _code_digest_memo is None:
+        import jax
+
+        h = hashlib.sha256()
+        base = os.path.dirname(__file__)
+        for mod in _SRC_MODULES:
+            with open(os.path.join(base, mod + ".py"), "rb") as f:
+                h.update(f.read())
+        h.update(jax.__version__.encode())
+        try:
+            h.update(jax.devices()[0].device_kind.encode())
+        except Exception:
+            pass
+        _code_digest_memo = h.hexdigest()[:16]
+    return _code_digest_memo
+
+
+def enabled() -> bool:
+    if os.environ.get("LWKZG_AOT") == "0":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu" and hasattr(jax, "export")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _artifact_path(key: str) -> str:
+    from ..models.srs import _CACHE_DIR
+
+    return os.path.join(_CACHE_DIR, f"aot_{key}.jaxexp")
+
+
+def call(name: str, jit_fn, args: Tuple, static: Tuple = ()):
+    """Run `jit_fn(*args, **dict(static))` through an AOT-exported
+    program when possible (TPU only); transparently falls back."""
+    if not enabled():
+        return jit_fn(*args, **dict(static))
+    import jax
+
+    sig = ";".join(f"{a.shape}{a.dtype}" for a in args)
+    key = hashlib.sha256(
+        f"{name}|{sig}|{static}|{_code_digest()}".encode()
+    ).hexdigest()[:20]
+    exp = _cache.get(key)
+    if exp is None:
+        path = _artifact_path(key)
+        try:
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    exp = jax.export.deserialize(f.read())
+            else:
+                exp = jax.export.export(jit_fn)(*args, **dict(static))
+                blob = exp.serialize()
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+                # call through the DESERIALIZED form: the exporting
+                # process would otherwise compile a not-bit-identical
+                # program and pollute the persistent XLA cache with a
+                # key no later (deserializing) process can hit
+                exp = jax.export.deserialize(blob)
+            _cache[key] = exp
+        except Exception as e:  # pragma: no cover - fallback path
+            import sys
+
+            print(
+                f"[lambdaworks_kzg_tpu] AOT path unavailable for {name} "
+                f"({e!r}); using the jit path",
+                file=sys.stderr,
+            )
+            _cache[key] = False
+            exp = False
+    if exp is False:
+        return jit_fn(*args, **dict(static))
+    return exp.call(*args)

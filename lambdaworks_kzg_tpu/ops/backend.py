@@ -134,10 +134,14 @@ class DeviceBackend:
     def _srs_msm_dispatch(self, scalars_plain: jnp.ndarray) -> jnp.ndarray:
         """SRS-basis MSM, async: fixed-base single point [3, L, 1] when
         tables are built, else generic window sums [3, L, W]."""
+        from . import aot
+
         if self._fb is not None:
-            return msm.msm_fixedbase_device(
-                self._fb[0], self._fb[1], scalars_plain, self.c,
-                self._fb_groups,
+            return aot.call(
+                "msm_fixedbase_device",
+                msm.msm_fixedbase_device,
+                (self._fb[0], self._fb[1], scalars_plain),
+                static=(("c", self.c), ("groups", self._fb_groups)),
             )
         return self._msm_ws(scalars_plain)
 
@@ -154,7 +158,14 @@ class DeviceBackend:
         valid = self.valid if valid is None else valid
         c = c or self.c
         if self.mesh is None:
-            return msm.msm_device(points, valid, scalars_plain, c)
+            from . import aot
+
+            return aot.call(
+                "msm_device",
+                msm.msm_device,
+                (points, valid, scalars_plain),
+                static=(("c", c),),
+            )
         from ..parallel import msm as pmsm
 
         return pmsm.make_msm_step(self.mesh, c)(points, valid, scalars_plain)

@@ -94,7 +94,8 @@ def subgroup_mask_definitional(points_jac: jnp.ndarray) -> jnp.ndarray:
     return g1.is_infinity(scalar_mul_fixed(points_jac, R))
 
 
-_BETA_MONT = None  # lazy: jnp constants at import time break jax configury
+_BETA_MONT = None  # NUMPY (a cached jnp array created inside a trace
+# leaks that trace's tracer into later traces — keep host constants np)
 
 
 def _beta_mont():
@@ -102,7 +103,7 @@ def _beta_mont():
     if _BETA_MONT is None:
         from ..constants import G1_BETA
 
-        _BETA_MONT = jnp.asarray(FP.to_mont_host([G1_BETA]))
+        _BETA_MONT = FP.to_mont_host([G1_BETA])
     return _BETA_MONT
 
 

@@ -125,16 +125,14 @@ def scalar_mul_fixed(points_jac, k: int):
     return acc
 
 
-_PSI_CONSTS = None
+_PSI_CONSTS = None  # NUMPY: cached jnp constants created inside a
+# trace leak tracers into later traces (see g1_batch._beta_mont)
 
 
 def _psi_consts():
     global _PSI_CONSTS
     if _PSI_CONSTS is None:
-        _PSI_CONSTS = (
-            jnp.asarray(F2.from_host([PSI_X])),
-            jnp.asarray(F2.from_host([PSI_Y])),
-        )
+        _PSI_CONSTS = (F2.from_host([PSI_X]), F2.from_host([PSI_Y]))
     return _PSI_CONSTS
 
 

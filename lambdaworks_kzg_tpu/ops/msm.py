@@ -120,12 +120,37 @@ def bucket_accumulate(
     rowm = jnp.transpose(points, (2, 0, 1)).reshape(n, 2 * l)  # [N, 2L]
     points_rowmajor = jnp.pad(rowm, ((0, 0), (0, 128 - 2 * l)))
 
-    # Chunked accumulation: gather CHUNK slots for every bucket lane in
-    # ONE bulk take per outer round (bulk takes run near HBM bandwidth;
-    # the old per-madd gather serialized one small take per loop
-    # iteration and cost as much as the madd at 2^20), then run CHUNK
-    # contiguous-slice madds. Rounds overshoot max_load by < CHUNK slots
-    # (dead lanes masked) — negligible beyond toy sizes.
+    # Chunked accumulation (TPU): gather CHUNK slots for every bucket
+    # lane in ONE bulk take per outer round (bulk takes amortize XLA's
+    # per-row gather overhead; the old per-madd gather serialized one
+    # small take per loop iteration and cost as much as the madd at
+    # 2^20), then run CHUNK contiguous-slice madds. Rounds overshoot
+    # max_load by < CHUNK slots (dead lanes masked) — negligible beyond
+    # toy sizes.
+    from . import dispatch as _dispatch
+
+    if not _dispatch.use_pallas():
+        # CPU (tests): the chunked-bulk-gather body below makes the XLA
+        # CPU compile pathological (>1 h at the 4096 shape); the simple
+        # per-iteration gather compiles in minutes and CPU runtime is
+        # irrelevant. Results are bit-identical.
+        points_rm = jnp.transpose(points, (2, 0, 1))  # [N, 2, L]
+
+        def body_s(carry):
+            t, buckets = carry
+            idx = starts + t  # [W, 2^c]
+            live = jnp.logical_and(idx < ends, live_bucket)
+            idx_c = jnp.minimum(idx, n - 1)
+            pt_idx = jnp.take_along_axis(order, idx_c, axis=1)
+            rows = jnp.take(points_rm, pt_idx.reshape(-1), axis=0)
+            gathered = jnp.transpose(rows, (1, 2, 0))  # [2, L, M]
+            return (t + 1, _madd(buckets, gathered, live.reshape(-1)))
+
+        _, buckets = jax.lax.while_loop(
+            lambda c_: c_[0] < max_load, body_s, (jnp.int32(0), buckets0)
+        )
+        return buckets
+
     chunk = max(1, min(32, n))
     order_flat = order.reshape(-1)  # [W*N]
     w_off = (jnp.arange(num_windows, dtype=jnp.int32) * n)[:, None]  # [W,1]
@@ -445,6 +470,31 @@ def msm_fixedbase_device(table, table_valid, scalars, c: int = 8,
     # 128-word padded rows: see bucket_accumulate on gather row size
     rowm = jnp.transpose(table, (2, 0, 1)).reshape(n_members, 2 * l)
     points_rowmajor = jnp.pad(rowm, ((0, 0), (0, 128 - 2 * l)))
+    from . import dispatch as _dispatch
+
+    if not _dispatch.use_pallas():
+        # CPU (tests): per-iteration gather — see bucket_accumulate on
+        # the XLA CPU compile pathology of the chunked body
+        points_rm = jnp.transpose(table, (2, 0, 1))  # [W*N, 2, L]
+
+        def body_s(carry):
+            t, buckets = carry
+            idx = starts + t * groups  # [G, 2^c]
+            live = jnp.logical_and(idx < ends, live_bucket)
+            idx_c = jnp.minimum(idx, n_members - 1)
+            pt_idx = jnp.take(order, idx_c.reshape(-1))
+            rows = jnp.take(points_rm, pt_idx, axis=0)
+            gathered = jnp.transpose(rows, (1, 2, 0))  # [2, L, M]
+            return (t + 1, _madd(buckets, gathered, live.reshape(-1)))
+
+        _, buckets = jax.lax.while_loop(
+            lambda c_: c_[0] < max_load, body_s, (jnp.int32(0), buckets0)
+        )
+        group_sums = bucket_reduce(buckets, c, merge_top=False)
+        return _tree_sum_lanes(
+            group_sums.reshape(group_sums.shape[:-1] + (1, groups))
+        )
+
     chunk = max(1, min(16, (n_members + groups - 1) // groups))
 
     def body(carry):

@@ -42,6 +42,6 @@ def make_mesh(
     elif points is None:
         assert n % data == 0
         points = n // data
-    assert data * points == n, f"{data}x{points} != {n} devices"
-    arr = np.asarray(devices).reshape(data, points)
+    assert data * points <= n, f"{data}x{points} > {n} devices"
+    arr = np.asarray(devices[: data * points]).reshape(data, points)
     return Mesh(arr, axis_names=("data", "points"))

@@ -3,6 +3,13 @@
 The reference ships 208 YAML vectors (reference tests/<fn>/small/*/data.yaml)
 but contains no runner for them (SURVEY.md §4). This is ours. `output: null`
 means the call must reject the input.
+
+Both math tiers are gated (the mainnet_ctx fixture is parametrized over
+the host oracle and the device backend). The device tier's XLA-CPU limb
+kernels cost minutes per valid 4096-element case on a small CI box, so
+by default the device tier runs every REJECTION case plus the first few
+valid cases per function; LWKZG_FULL_VECTOR_GATE=1 (set in CI) runs all
+416 checks.
 """
 
 import glob
@@ -62,11 +69,26 @@ def _run(ctx, fn, inp):
     raise AssertionError(fn)
 
 
+_FULL_GATE = os.environ.get("LWKZG_FULL_VECTOR_GATE") == "1"
+_DEVICE_VALID_SAMPLE = 1  # valid cases per function on the device tier
+_valid_seen = {}
+
+
 def _check(mainnet_ctx, fn, path):
     from lambdaworks_kzg_tpu.models.eip4844 import KZGError
+    from lambdaworks_kzg_tpu.models.kzg import HostBackend
 
     with open(path) as f:
         data = yaml.safe_load(f)
+    is_device = not isinstance(mainnet_ctx.kzg.backend, HostBackend)
+    if is_device and not _FULL_GATE and data["output"] is not None:
+        seen = _valid_seen.setdefault(fn, [0])
+        seen[0] += 1
+        if seen[0] > _DEVICE_VALID_SAMPLE:
+            pytest.skip(
+                "device-tier valid-case sample cap "
+                "(LWKZG_FULL_VECTOR_GATE=1 runs all)"
+            )
     try:
         got = _run(mainnet_ctx, fn, data["input"])
     except (KZGError, ValueError):

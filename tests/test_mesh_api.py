@@ -10,9 +10,17 @@ the commitment path — and the generic lincomb MSM (batch verify) pads
 correctly to the points axis.
 """
 
+import os
 import random
 
 import pytest
+
+# The 4096-shape mesh programs cost minutes of XLA-CPU compile+run per
+# mesh shape on a small CI box; by default one mesh shape runs at the
+# real protocol shape and the rest at a dev-setup shape.
+# LWKZG_FULL_VECTOR_GATE=1 (set in CI) runs the full matrix.
+_FULL = os.environ.get("LWKZG_FULL_VECTOR_GATE") == "1"
+
 
 from lambdaworks_kzg_tpu.constants import R
 from lambdaworks_kzg_tpu.models import srs
@@ -22,7 +30,7 @@ from lambdaworks_kzg_tpu.ops.backend import DeviceBackend
 from lambdaworks_kzg_tpu.parallel.mesh import make_mesh
 from lambdaworks_kzg_tpu.utils import blob as B
 
-MESH_SHAPES = [(1, 1), (2, 4), (1, 8)]
+MESH_SHAPES = [(1, 1), (2, 4), (1, 8)] if _FULL else [(2, 4)]
 
 
 def _rand_blob(n, rng):
@@ -51,10 +59,15 @@ def test_commitment_bit_identical_across_meshes(
     assert ctx.blob_to_kzg_commitment(blob4096) == commitment_nomesh
 
 
-def test_full_surface_on_mesh_small_setup():
-    """All 7 entry points on a (2, 4) mesh == host oracle (dev setup)."""
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (2, 4), (1, 8)] if not _FULL else [(2, 4)]
+)
+def test_full_surface_on_mesh_small_setup(shape):
+    """All 7 entry points on a mesh == host oracle (dev setup); covers
+    the mesh-shape matrix cheaply (the 4096-shape matrix runs under
+    LWKZG_FULL_VECTOR_GATE=1)."""
     setup = srs.create_dev_setup(256, secret=0xABCD)
-    mesh = make_mesh(data=2, points=4)
+    mesh = make_mesh(data=shape[0], points=shape[1])
     ctx = EIP4844Context(setup, backend=DeviceBackend(setup, mesh=mesh))
     host = EIP4844Context(setup, backend=HostBackend(setup))
     rng = random.Random(7)
@@ -63,7 +76,9 @@ def test_full_surface_on_mesh_small_setup():
     cs = [ctx.blob_to_kzg_commitment(b) for b in blobs]
     assert cs == [host.blob_to_kzg_commitment(b) for b in blobs]
 
-    z_bytes = rng.randrange(R).to_bytes(32, "big")
+    from lambdaworks_kzg_tpu.utils.hashing import bls_field_to_bytes
+
+    z_bytes = bls_field_to_bytes(rng.randrange(R))
     proof, y = ctx.compute_kzg_proof(blobs[0], z_bytes)
     assert (proof, y) == host.compute_kzg_proof(blobs[0], z_bytes)
     assert ctx.verify_kzg_proof(cs[0], z_bytes, y, proof)
@@ -79,6 +94,10 @@ def test_full_surface_on_mesh_small_setup():
     assert not ctx.verify_blob_kzg_proof_batch(blobs, cs, bps[::-1])
 
 
+@pytest.mark.skipif(
+    not _FULL,
+    reason="4096-shape batched mesh run (LWKZG_FULL_VECTOR_GATE=1 runs it)",
+)
 def test_batched_apis_on_mesh(mainnet_setup, blob4096, commitment_nomesh):
     """commit/prove batch APIs shard over `data` (batch not divisible by
     the axis -> padded) and agree with the single-chip result."""
