@@ -5,14 +5,18 @@ replacing lambdaworks `msm::pippenger::msm` behind `g1_lincomb`
 (reference src/lib.rs:234-243) and `kzg.commit`.
 
 TPU formulation (SIMD-friendly, no data-dependent scatter):
-  1. window digits for all points                      [W, N]
-  2. per-window argsort by digit (groups bucket members contiguously)
+  1. window digits for all points [W, N]; the top window's load is
+     round-robined across its unoccupied upper buckets (any c — see
+     _top_bits), so non-dividing window sizes stay viable
+  2. per-window STABLE sort by digit (single-array packed-key sort on
+     TPU — digit << log2(N) | index; argsort on CPU)
   3. bucket start offsets via vectorized searchsorted  [W, 2^c]
-  4. bucket accumulation: all W*2^c buckets advance in lockstep on a
-     flat lane axis M = W*2^c; members arrive via CHUNKED BULK gathers
-     (one big take per CHUNK slots — bulk takes run near HBM bandwidth,
-     per-iteration takes do not), then CHUNK contiguous-slice madds;
-     the while_loop runs ~max-bucket-load/CHUNK rounds
+  4. bucket accumulation: buckets advance in lockstep on flat lane
+     grids of <= _GROUP_LANES lanes (windows grouped; each group runs
+     to ITS own max bucket load under a lax.scan); members arrive via
+     CHUNKED BULK gathers (one big take per CHUNK slots — bulk takes
+     amortize XLA's per-row gather overhead), then CHUNK
+     contiguous-slice madds per round
   5. bucket reduction: suffix scan + pairwise tree, both as flat lane
      rolls masked at window boundaries, every round at the SAME [3,L,M]
      shape (one compiled kernel; see ops/dispatch.py on Mosaic compile
@@ -38,6 +42,12 @@ from . import limbs as lb
 from .dispatch import add as _add, dbl as _dbl, madd as _madd
 from .field_ops import FR
 
+# Lockstep-grid lane cap: window groups are sized so each grid stays at
+# or under this many lanes (top of the canonical Pallas lane ladder —
+# see bucket_accumulate). Module-level so tests can shrink it to drive
+# the multi-group path at toy sizes.
+_GROUP_LANES = 8192
+
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     """scalars: uint32[16, N] plain Fr limbs -> digits uint32[W, N].
@@ -59,6 +69,32 @@ def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
         word = padded[k] | (padded[k + 1] << 16)
         outs.append((word >> s) & mask)
     return jnp.stack(outs, axis=0)
+
+
+def _sort_members(digits: jnp.ndarray, n: int, digit_bits: int):
+    """Stable sort of each row of `digits` -> (order int32, sorted u32).
+
+    TPU: single-array sort of packed keys (digit << log2(n) | index) —
+    measurably cheaper than argsort's (key, payload) comparator network;
+    stability is inherent (ties break by index). Requires n a power of
+    two and digit_bits + log2(n) <= 32. CPU keeps argsort: runtime is
+    irrelevant there and the stable-argsort graph is already compiled
+    and cached for the test suite.
+    """
+    from . import dispatch as _dispatch
+
+    if (
+        _dispatch.use_pallas()
+        and n > 1
+        and n & (n - 1) == 0
+        and digit_bits + (n - 1).bit_length() <= 32
+    ):
+        shift = (n - 1).bit_length()
+        key = (digits << shift) | jnp.arange(n, dtype=jnp.uint32)[None, :]
+        skey = jnp.sort(key, axis=1)
+        return (skey & jnp.uint32(n - 1)).astype(jnp.int32), skey >> shift
+    order = jnp.argsort(digits, axis=1)
+    return order, jnp.take_along_axis(digits, order, axis=1)
 
 
 def bucket_accumulate(
@@ -83,19 +119,22 @@ def bucket_accumulate(
     # route invalid points and zero digits to bucket 0 (ignored later)
     digits = jnp.where(valid[None, :], digits, 0)
 
-    if _top_window_split(c):
-        # Fr scalars are < 2^255, so when c | 256 the top window's digits
-        # are < 2^(c-1): only half its buckets can be occupied, doubling
-        # their load — and the lockstep loop runs max-bucket-load times.
-        # Route alternating points into the free upper half (aliases,
-        # merged back in bucket_reduce), halving the top window's max.
-        half = jnp.uint32(1 << (c - 1))
-        parity = (jnp.arange(n, dtype=jnp.uint32) & 1) * half
-        top = digits[-1]
-        digits = digits.at[-1].set(jnp.where(top != 0, top + parity, 0))
+    # Top-window alias split (any c): top digits are < 2^t (_top_bits),
+    # so buckets >= 2^t are free. Round-robin points across the
+    # 2^(c - t) aliases of each bucket (merged back in bucket_reduce),
+    # flattening the top window's otherwise-concentrated load. This is
+    # what makes non-dividing window sizes (c = 10, 12, ...) viable —
+    # without it the top window's <= 2^t occupied buckets carry
+    # 2^(c-t) times the mean load and dominate the lockstep rounds.
+    t_bits = _top_bits(c)
+    aliases = 1 << (c - t_bits)
+    alias = (jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(aliases - 1)) * (
+        jnp.uint32(1 << t_bits)
+    )
+    top = digits[-1]
+    digits = digits.at[-1].set(jnp.where(top != 0, top + alias, 0))
 
-    order = jnp.argsort(digits, axis=1)  # [W, N]
-    sorted_digits = jnp.take_along_axis(digits, order, axis=1)
+    order, sorted_digits = _sort_members(digits, n, c)
 
     bucket_ids = jnp.arange(num_buckets, dtype=sorted_digits.dtype)
     starts = jax.vmap(
@@ -153,36 +192,104 @@ def bucket_accumulate(
 
     chunk = max(1, min(32, n))
     order_flat = order.reshape(-1)  # [W*N]
-    w_off = (jnp.arange(num_windows, dtype=jnp.int32) * n)[:, None]  # [W,1]
 
-    def body(carry):
-        base, buckets = carry
-        t_off = base + jnp.arange(chunk, dtype=jnp.int32)[:, None, None]
-        idx = starts[None] + t_off  # [chunk, W, 2^c]
-        live = jnp.logical_and(idx < ends[None], live_bucket[None])
-        idx_c = jnp.minimum(idx, n - 1)
-        flat = (w_off[None] + idx_c).reshape(-1)
-        pt_idx = jnp.take(order_flat, flat)  # [chunk*W*2^c]
-        rows = jnp.take(points_rowmajor, pt_idx, axis=0)  # [*, 128]
-        gathered = jnp.transpose(
-            rows[:, : 2 * l].reshape(chunk, m_total, 2, l), (0, 2, 3, 1)
-        )  # [chunk, 2, L, M]
-        live_flat = live.reshape(chunk, m_total)
+    # Window-grouped lockstep: cap each grid at <= 8192 lanes (the top
+    # of the canonical Pallas lane ladder — ops/dispatch.py pads lane
+    # counts to powers of two, so an uncapped W * 2^c grid would run
+    # with up to ~1.45x dead pad lanes at e.g. c = 12). Groups run as a
+    # lax.scan; each group's lockstep advances only to ITS max bucket
+    # load, so per-group skew replaces global skew.
+    gsz = min(num_windows, max(1, _GROUP_LANES // num_buckets))
+    n_groups = -(-num_windows // gsz)
+    w_pad = n_groups * gsz - num_windows
 
-        def inner(t, b):
-            g = jax.lax.dynamic_index_in_dim(gathered, t, 0, keepdims=False)
-            lv = jax.lax.dynamic_index_in_dim(live_flat, t, 0, keepdims=False)
-            return _madd(b, g, lv)
+    if n_groups == 1:
+        w_off = (jnp.arange(num_windows, dtype=jnp.int32) * n)[:, None]
 
-        buckets = jax.lax.fori_loop(0, chunk, inner, buckets)
-        return (base + chunk, buckets)
+        def body(carry):
+            base, buckets = carry
+            t_off = base + jnp.arange(chunk, dtype=jnp.int32)[:, None, None]
+            idx = starts[None] + t_off  # [chunk, W, 2^c]
+            live = jnp.logical_and(idx < ends[None], live_bucket[None])
+            idx_c = jnp.minimum(idx, n - 1)
+            flat = (w_off[None] + idx_c).reshape(-1)
+            pt_idx = jnp.take(order_flat, flat)  # [chunk*W*2^c]
+            rows = jnp.take(points_rowmajor, pt_idx, axis=0)  # [*, 128]
+            gathered = jnp.transpose(
+                rows[:, : 2 * l].reshape(chunk, m_total, 2, l), (0, 2, 3, 1)
+            )  # [chunk, 2, L, M]
+            live_flat = live.reshape(chunk, m_total)
 
-    def cond(carry):
-        base, _ = carry
-        return base < max_load
+            def inner(t, b):
+                g = jax.lax.dynamic_index_in_dim(gathered, t, 0, keepdims=False)
+                lv = jax.lax.dynamic_index_in_dim(live_flat, t, 0, keepdims=False)
+                return _madd(b, g, lv)
 
-    _, buckets = jax.lax.while_loop(cond, body, (jnp.int32(0), buckets0))
-    return buckets
+            buckets = jax.lax.fori_loop(0, chunk, inner, buckets)
+            return (base + chunk, buckets)
+
+        def cond(carry):
+            base, _ = carry
+            return base < max_load
+
+        _, buckets = jax.lax.while_loop(cond, body, (jnp.int32(0), buckets0))
+        return buckets
+
+    m_g = gsz * num_buckets
+    if w_pad:  # empty pad windows: zero counts, loops skip them
+        pad_se = jnp.full((w_pad, num_buckets), n, dtype=jnp.int32)
+        starts = jnp.concatenate([starts, pad_se])
+        ends = jnp.concatenate([ends, pad_se])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((w_pad, num_buckets), dtype=counts.dtype)]
+        )
+    starts_r = starts.reshape(n_groups, gsz, num_buckets)
+    ends_r = ends.reshape(n_groups, gsz, num_buckets)
+    maxl_r = jnp.max(
+        counts.reshape(n_groups, gsz, num_buckets)[..., 1:], axis=(1, 2)
+    )
+    woff_r = (
+        jnp.arange(n_groups * gsz, dtype=jnp.int32) * n
+    ).reshape(n_groups, gsz, 1)
+
+    def group_fn(_, gd):
+        starts_g, ends_g, maxl_g, woff_g = gd
+
+        def body(carry):
+            base, buckets = carry
+            t_off = base + jnp.arange(chunk, dtype=jnp.int32)[:, None, None]
+            idx = starts_g[None] + t_off  # [chunk, gsz, 2^c]
+            live = jnp.logical_and(idx < ends_g[None], live_bucket[None])
+            idx_c = jnp.minimum(idx, n - 1)
+            flat = (woff_g[None] + idx_c).reshape(-1)
+            pt_idx = jnp.take(order_flat, flat)  # clips pad-window reads
+            rows = jnp.take(points_rowmajor, pt_idx, axis=0)
+            gathered = jnp.transpose(
+                rows[:, : 2 * l].reshape(chunk, m_g, 2, l), (0, 2, 3, 1)
+            )
+            live_flat = live.reshape(chunk, m_g)
+
+            def inner(t, b):
+                g = jax.lax.dynamic_index_in_dim(gathered, t, 0, keepdims=False)
+                lv = jax.lax.dynamic_index_in_dim(live_flat, t, 0, keepdims=False)
+                return _madd(b, g, lv)
+
+            return (base + chunk, jax.lax.fori_loop(0, chunk, inner, buckets))
+
+        _, buckets = jax.lax.while_loop(
+            lambda cr: cr[0] < maxl_g,
+            body,
+            (jnp.int32(0), g1.infinity_like((), m_g)),
+        )
+        return None, buckets
+
+    _, groups_out = jax.lax.scan(
+        group_fn, None, (starts_r, ends_r, maxl_r, woff_r)
+    )  # [n_groups, 3, L, m_g]
+    buckets = jnp.transpose(groups_out, (1, 2, 0, 3)).reshape(
+        3, l, n_groups * m_g
+    )
+    return buckets[..., :m_total]
 
 
 def _tree_sum_lanes(arr4: jnp.ndarray) -> jnp.ndarray:
@@ -224,11 +331,15 @@ def _flat(arr4: jnp.ndarray) -> jnp.ndarray:
     return arr4.reshape(s[:-2] + (s[-2] * s[-1],))
 
 
-def _top_window_split(c: int) -> bool:
-    """Whether bucket_accumulate aliases the top window's load into its
-    unoccupied upper bucket half (see bucket_accumulate); bucket_reduce
-    must merge the aliases back."""
-    return 256 % c == 0
+def _top_bits(c: int) -> int:
+    """Bit-width of the top window's digits: Fr scalars are < 2^255, so
+    with W = ceil(256/c) windows the top digit is < 2^(255 - c*(W-1)).
+    Always < c, so the top window's upper buckets are free alias space
+    (bucket_accumulate round-robins points across them — the lockstep
+    loop runs max-bucket-load rounds, and an unsplit top window would
+    concentrate 2^(c - top_bits) times the mean load there)."""
+    num_windows = (256 + c - 1) // c
+    return 255 - c * (num_windows - 1)
 
 
 def bucket_reduce(buckets: jnp.ndarray, c: int, merge_top: bool = True) -> jnp.ndarray:
@@ -262,20 +373,28 @@ def _zero_bucket0(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _merge_top_aliases(arr: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Merge the top window's alias lanes (bucket b's second copy lives
-    at lane b + 2^(c-1); see bucket_accumulate). One half-window-wide
-    add (canonicalized to a 512-lane kernel on TPU)."""
-    if not _top_window_split(c):
-        return arr
+    """Merge the top window's alias lanes back: bucket b's aliases live
+    at lanes b + a * 2^t for a in [0, 2^(c-t)) (see bucket_accumulate).
+    log2(aliases) pairwise folds, each a lane-add on the live half."""
     num_buckets = 1 << c
     w = arr.shape[-1] // num_buckets
     arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
-    half = num_buckets // 2
-    top = arr4[..., -1:, :]
-    lo = top[..., :half]
-    hi = top[..., half:]
-    merged = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
-    top = jnp.concatenate([merged, jnp.zeros_like(hi)], axis=-1)
+    live = arr4[..., -1:, :]
+    t_bits = _top_bits(c)
+    for _ in range(c - t_bits):
+        half = live.shape[-1] // 2
+        lo = live[..., :half]
+        hi = live[..., half:]
+        live = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
+    top = jnp.concatenate(
+        [
+            live,
+            jnp.zeros(
+                live.shape[:-1] + (num_buckets - live.shape[-1],), live.dtype
+            ),
+        ],
+        axis=-1,
+    )
     arr4 = jnp.concatenate([arr4[..., :-1, :], top], axis=-2)
     return arr4.reshape(arr.shape)
 
@@ -447,8 +566,9 @@ def msm_fixedbase_device(table, table_valid, scalars, c: int = 8,
     digits = fixedbase_digits(scalars, c)
     digits = jnp.where(table_valid, digits, 0)
 
-    order = jnp.argsort(digits)
-    sorted_digits = jnp.take(digits, order)
+    order, sorted_digits = (
+        a[0] for a in _sort_members(digits[None, :], n_members, c)
+    )
     bucket_ids = jnp.arange(num_buckets, dtype=sorted_digits.dtype)
     bstart = jnp.searchsorted(sorted_digits, bucket_ids, side="left").astype(
         jnp.int32

@@ -280,16 +280,29 @@ def g2_to_affine(q_jac):
     return (F2.mul(X, zi2), F2.mul(Y, F2.mul(zi2, zi))), finite
 
 
-@jax.jit
-def pairing_check(ps_jac, qs_jac):
-    """prod_i e(P_i, Q_i) == 1 for G1 Jacobian [3, L, B] and G2 Jacobian
-    [3, 2, L, B] (pairs with an infinity member contribute 1, matching
-    host/pairing.pairing_batch). Returns bool[1]. Jitted: warm calls
-    reuse one compiled program per batch shape."""
+def _pairing_check_impl(ps_jac, qs_jac):
     p_aff, p_fin = g1_to_affine(ps_jac)
     q_aff, q_fin = g2_to_affine(qs_jac)
     f = miller_loop(p_aff, q_aff, p_fin & q_fin)
     return T.fp12_eq_one(final_exp_cubed(lane_product(f)))
+
+
+_pairing_check_jit = jax.jit(_pairing_check_impl)
+
+
+def pairing_check(ps_jac, qs_jac):
+    """prod_i e(P_i, Q_i) == 1 for G1 Jacobian [3, L, B] and G2 Jacobian
+    [3, 2, L, B] (pairs with an infinity member contribute 1, matching
+    host/pairing.pairing_batch). Returns bool[1].
+
+    Jitted on TPU (one compiled program per batch shape, warm calls
+    reuse it). Eager elsewhere: the whole-pairing XLA-CPU compile (the
+    Miller scan plus five final-exp scans in one program) is
+    pathologically slow, while the eager scans compile piecewise and
+    land in the persistent cache individually."""
+    if jax.default_backend() == "tpu":
+        return _pairing_check_jit(ps_jac, qs_jac)
+    return _pairing_check_impl(ps_jac, qs_jac)
 
 
 def g1_neg(p_jac):
