@@ -227,10 +227,13 @@ _XM1_BITS = np.array(
 
 
 def _pow_abs(m, bits, b):
+    """m^e for cyclotomic m (post-easy-part ONLY): MSB-first square-and
+    -multiply with Granger-Scott cyclotomic squarings (~2x cheaper than
+    generic fp12_sqr)."""
     one = jax.tree_util.tree_map(jnp.asarray, T.fp12_one(b))
 
     def body(r, bit):
-        r = T.fp12_sqr(r)
+        r = T.fp12_cyc_sqr(r)
         return _select(bit, T.fp12_mul(r, m), r), None
 
     r, _ = jax.lax.scan(body, one, jnp.asarray(bits))
@@ -253,7 +256,7 @@ def final_exp_cubed(f):
     g = T.fp12_mul(
         T.fp12_mul(cx2, T.fp12_frobenius_n(c, 2)), T.fp12_conj(c)
     )  # ^(x^2 + p^2 - 1)
-    return T.fp12_mul(g, T.fp12_mul(T.fp12_sqr(m), m))  # * m^3
+    return T.fp12_mul(g, T.fp12_mul(T.fp12_cyc_sqr(m), m))  # * m^3
 
 
 # ---------------------------------------------------------------------------

@@ -188,6 +188,43 @@ def fp12_conj(a):
     return (a[0], fp6_neg(a[1]))
 
 
+def _fp4_sq(a, b):
+    """(a + b s)^2 in Fp4 = Fp2[s]/(s^2 - xi)."""
+    t0 = fp2_sqr(a)
+    t1 = fp2_sqr(b)
+    o0 = fp2_add(t0, fp2_mul_by_xi(t1))
+    s = fp2_sqr(fp2_add(a, b))
+    return o0, fp2_sub(fp2_sub(s, t0), t1)
+
+
+def _tri_m(t, z):  # 3t - 2z
+    r = fp2_sub(t, z)
+    return fp2_add(fp2_add(r, r), t)
+
+
+def _tri_p(t, z):  # 3t + 2z
+    r = fp2_add(t, z)
+    return fp2_add(fp2_add(r, r), t)
+
+
+def fp12_cyc_sqr(g):
+    """Granger-Scott squaring — valid ONLY in the cyclotomic subgroup
+    (post-easy-part, where the final-exp hard part lives): 3 Fp4
+    squarings (9 Fp2 squarings) vs fp12_sqr's ~18 Fp2 muls.
+    Differential-tested against fp12_sqr on cyclotomic elements."""
+    (z0, z4, z3), (z2, z1, z5) = g
+    t0, t1 = _fp4_sq(z0, z1)
+    z0 = _tri_m(t0, z0)
+    z1 = _tri_p(t1, z1)
+    t0, t1 = _fp4_sq(z2, z3)
+    t2, t3 = _fp4_sq(z4, z5)
+    z4 = _tri_m(t0, z4)
+    z5 = _tri_p(t1, z5)
+    z2 = _tri_p(fp2_mul_by_xi(t3), z2)
+    z3 = _tri_m(t2, z3)
+    return ((z0, z4, z3), (z2, z1, z5))
+
+
 def fp12_eq_one(a):
     """bool[B]: a == 1 in Fp12 (Montgomery one in slot c0)."""
     one = np.asarray(fp2_one(1))

@@ -674,6 +674,57 @@ static void fp12_pow_words(Fp12 &o, const Fp12 &a, const u64 *e, int nwords) {
     o = result;
 }
 
+// (a + b s)^2 in Fp4 = Fp2[s]/(s^2 - xi): (a^2 + xi b^2, (a+b)^2 - a^2 - b^2)
+static inline void fp4_sq(Fp2 &o0, Fp2 &o1, const Fp2 &a, const Fp2 &b) {
+    Fp2 t0, t1, s, x;
+    fp2_sqr(t0, a);
+    fp2_sqr(t1, b);
+    fp2_mul_by_xi(x, t1);
+    fp2_add(o0, t0, x);
+    fp2_add(s, a, b);
+    fp2_sqr(s, s);
+    fp2_sub(s, s, t0);
+    fp2_sub(o1, s, t1);
+}
+
+// Granger-Scott squaring, valid in the cyclotomic subgroup only (post
+// easy part — where the final-exp hard part lives): 3 Fp4 squarings
+// (9 Fp2 squarings) vs fp12_sqr's ~18 Fp2 muls. Differentially
+// validated against fp12_sqr on cyclotomic elements.
+static void fp12_cyc_sqr(Fp12 &o, const Fp12 &g) {
+    Fp2 z0 = g.c0.c0, z4 = g.c0.c1, z3 = g.c0.c2;
+    Fp2 z2 = g.c1.c0, z1 = g.c1.c1, z5 = g.c1.c2;
+    Fp2 t0, t1, t2, t3, r, x3;
+    fp4_sq(t0, t1, z0, z1);
+    fp2_sub(r, t0, z0);  // z0 = 3 t0 - 2 z0
+    fp2_add(r, r, r);
+    fp2_add(z0, r, t0);
+    fp2_add(r, t1, z1);  // z1 = 3 t1 + 2 z1
+    fp2_add(r, r, r);
+    fp2_add(z1, r, t1);
+    fp4_sq(t0, t1, z2, z3);
+    fp4_sq(t2, t3, z4, z5);
+    fp2_sub(r, t0, z4);  // z4 = 3 t0 - 2 z4
+    fp2_add(r, r, r);
+    fp2_add(z4, r, t0);
+    fp2_add(r, t1, z5);  // z5 = 3 t1 + 2 z5
+    fp2_add(r, r, r);
+    fp2_add(z5, r, t1);
+    fp2_mul_by_xi(x3, t3);
+    fp2_add(r, x3, z2);  // z2 = 3 xi t3 + 2 z2
+    fp2_add(r, r, r);
+    fp2_add(z2, r, x3);
+    fp2_sub(r, t2, z3);  // z3 = 3 t2 - 2 z3
+    fp2_add(r, r, r);
+    fp2_add(z3, r, t2);
+    o.c0.c0 = z0;
+    o.c0.c1 = z4;
+    o.c0.c2 = z3;
+    o.c1.c0 = z2;
+    o.c1.c1 = z1;
+    o.c1.c2 = z5;
+}
+
 // a^x for the (negative) BLS parameter x = -|x|, valid in the cyclotomic
 // subgroup where inversion is conjugation (post-easy-part only).
 static void exp_by_x(Fp12 &o, const Fp12 &a) {
@@ -681,7 +732,7 @@ static void exp_by_x(Fp12 &o, const Fp12 &a) {
     u64 bits = LOOP;
     while (bits) {
         if (bits & 1) fp12_mul(res, res, base);
-        fp12_sqr(base, base);
+        fp12_cyc_sqr(base, base);
         bits >>= 1;
     }
     fp12_conj(o, res);
@@ -719,7 +770,7 @@ static void final_exponentiation(Fp12 &o, const Fp12 &f) {
     fp12_mul(s, tmp1, tmp2);
     fp12_conj(tmp2, b);
     fp12_mul(s, s, tmp2);                     // ^(x^2 + p^2 - 1)
-    fp12_sqr(tmp1, m);
+    fp12_cyc_sqr(tmp1, m);
     fp12_mul(tmp1, tmp1, m);                  // m^3
     fp12_mul(o, s, tmp1);
 }

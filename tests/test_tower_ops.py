@@ -77,3 +77,20 @@ def test_fp12_eq_one():
     vals = [HF.FP12_ONE, _rfp12(), HF.FP12_ONE, _rfp12()]
     got = np.asarray(T.fp12_eq_one(T.fp12_from_host(vals)))
     assert got.tolist() == [True, False, True, False]
+
+
+def test_fp12_cyc_sqr_on_cyclotomic():
+    """Granger-Scott squaring == generic squaring on cyclotomic
+    elements (the only domain it is used on: post-easy-part)."""
+    vals = [_rfp12() for _ in range(3)]
+    cyc = [
+        HF.fp12_mul(
+            HF.fp12_frobenius_n(
+                HF.fp12_mul(HF.fp12_conj(v), HF.fp12_inv(v)), 2
+            ),
+            HF.fp12_mul(HF.fp12_conj(v), HF.fp12_inv(v)),
+        )
+        for v in vals
+    ]
+    d = T.fp12_from_host(cyc)
+    assert T.fp12_to_host(T.fp12_cyc_sqr(d)) == [HF.fp12_sqr(m) for m in cyc]
