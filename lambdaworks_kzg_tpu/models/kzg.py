@@ -82,8 +82,11 @@ class KZG:
         config: Optional[object] = None,
         mesh=None,
     ):
+        from ..utils.config import KZGConfig
+
         self.setup = setup
-        self.backend = backend or _default_backend(setup, config, mesh)
+        self.config = config if config is not None else KZGConfig.from_env()
+        self.backend = backend or self.config.make_backend(setup, mesh=mesh)
         # protocol G2 constants: [1]_2 and [s]_2 (reference srs.rs:254,274)
         self.g2_one = C.from_affine(C.FP2_OPS, setup.g2_monomial[0])
         self.g2_s = C.from_affine(C.FP2_OPS, setup.g2_monomial[1])
@@ -109,11 +112,28 @@ class KZG:
 
         Routed through the native C++ tier when built (pairing + the two
         fixed-base scalar muls are latency-bound single-point ops, ~100x
-        slower in Python ints); LWKZG_NATIVE=0 forces the Python oracle.
+        slower in Python ints); LWKZG_NATIVE=0 forces the Python oracle,
+        LWKZG_DEVICE_PAIRING=1 runs the pairing on the device tier.
         """
         ops, ops2 = C.FP_OPS, C.FP2_OPS
         from .. import native
 
+        if getattr(self.config, "device_pairing", False):
+            from ..ops import pairing_ops as PO
+
+            p_minus_y = C.point_add(
+                ops,
+                commitment,
+                C.point_neg(ops, C.point_scalar_mul(ops, C.G1_GENERATOR, y)),
+            )
+            x_minus_z = C.point_add(
+                ops2,
+                self.g2_s,
+                C.point_neg(ops2, C.point_scalar_mul(ops2, C.G2_GENERATOR, z)),
+            )
+            return PO.pairings_verify_host_points(
+                p_minus_y, self.g2_one, proof, x_minus_z
+            )
         if native.available():
             yg = native.g1_scalar_mul_affine(
                 C.to_affine(ops, C.G1_GENERATOR), y % R
@@ -184,6 +204,12 @@ class KZG:
         rhs = C.point_add(ops, c_minus_y_lincomb, proof_z_lincomb)
         from .. import native
 
+        if getattr(self.config, "device_pairing", False):
+            from ..ops import pairing_ops as PO
+
+            return PO.pairings_verify_host_points(
+                rhs, self.g2_one, proof_lincomb, self.g2_s
+            )
         if native.available():
             return native.pairings_verify_affine(
                 C.to_affine(ops, rhs),
@@ -194,13 +220,3 @@ class KZG:
         return pairings_verify(rhs, self.g2_one, proof_lincomb, self.g2_s)
 
 
-def _default_backend(setup: TrustedSetup, config=None, mesh=None):
-    """Resolve the math backend through KZGConfig (prefer the device tier
-    when JAX is importable; fall back to the exact Python-int oracle).
-
-    Environment overrides (LWKZG_BACKEND, LWKZG_MSM_WINDOW_BITS,
-    LWKZG_MESH_SHAPE) are collected by KZGConfig.from_env."""
-    from ..utils.config import KZGConfig
-
-    cfg = config if config is not None else KZGConfig.from_env()
-    return cfg.make_backend(setup, mesh=mesh)

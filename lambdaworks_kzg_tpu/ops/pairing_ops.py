@@ -319,3 +319,37 @@ def pairings_verify(a1_jac, a2_jac, b1_jac, b2_jac):
     ps = jnp.concatenate([g1_neg(a1_jac), b1_jac], axis=-1)
     qs = jnp.concatenate([a2_jac, b2_jac], axis=-1)
     return pairing_check(ps, qs)
+
+
+def pairings_verify_host_points(a1, a2, b1, b2) -> bool:
+    """Host Jacobian int points -> device pairing check.
+
+    The product bridge for LWKZG_DEVICE_PAIRING=1 / KZGConfig
+    .device_pairing (models/kzg.KZG.verify*): marshals the four
+    protocol points into limb arrays and runs the batched device
+    pairing instead of the native C++ tier."""
+    from ..host import curve as HC
+    from . import g1_batch, g1_ops, g2_ops
+
+    def d1(pts):
+        affs = [
+            None
+            if HC.is_infinity(HC.FP_OPS, p)
+            else HC.to_affine(HC.FP_OPS, p)
+            for p in pts
+        ]
+        aff, valid = g1_ops.make_points_host(affs)
+        return g1_batch.lift_affine(aff, valid)
+
+    def d2(pts):
+        affs = [
+            None
+            if HC.is_infinity(HC.FP2_OPS, q)
+            else HC.to_affine(HC.FP2_OPS, q)
+            for q in pts
+        ]
+        aff, valid = g2_ops.make_points_host(affs)
+        return g2_ops.lift_affine(aff, valid)
+
+    out = pairings_verify(d1([a1]), d2([a2]), d1([b1]), d2([b2]))
+    return bool(np.asarray(out)[0])

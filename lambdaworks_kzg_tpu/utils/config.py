@@ -5,14 +5,16 @@ The reference hard-codes its parameters as compile-time constants
 Here one frozen dataclass carries them plus the TPU-specific knobs, and it
 is the single decision point for backend / window / mesh selection:
 ``KZG``/``EIP4844Context`` resolve their backend through
-``KZGConfig.make_backend`` (models/kzg._default_backend).
+``KZGConfig.make_backend`` (resolved in models/kzg.KZG.__init__).
 
 Environment overrides (all collected by ``KZGConfig.from_env``):
 
   LWKZG_BACKEND=host|device     force the math tier
-  LWKZG_MSM_WINDOW_BITS=N       Pippenger window override (must divide 256)
+  LWKZG_MSM_WINDOW_BITS=N       Pippenger window override (1..16, any N)
   LWKZG_MESH_SHAPE=DxP          build a (data, points) device mesh, e.g. 2x4
   LWKZG_TRUSTED_SETUP=<path>    trusted setup file to load by default
+  LWKZG_DEVICE_PAIRING=1        run pairing checks on the device tier
+                                (ops/pairing_ops) instead of native C++
   LWKZG_PALLAS=0|1              force/disable fused Mosaic kernels
   LWKZG_NATIVE=0                disable the native C++ tier
   LWKZG_COMPILE_CACHE=0|<path>  disable / relocate the XLA compile cache
@@ -42,8 +44,8 @@ class KZGConfig:
     bytes_per_proof: int = BYTES_PER_PROOF
     bytes_per_field_element: int = BYTES_PER_FIELD_ELEMENT
 
-    # Pippenger window bits (None = auto; must divide 256 — see
-    # ops/backend._auto_window on top-window skew)
+    # Pippenger window bits (None = auto; any 1..16 — non-dividing
+    # sizes use the top-window alias split, ops/msm._top_bits)
     msm_window_bits: Optional[int] = None
 
     # device mesh shape (data, points); None = single chip
@@ -55,12 +57,20 @@ class KZGConfig:
     # math tier: None = auto (device when JAX present)
     backend: Optional[str] = None
 
+    # pairing checks through the device tier (batched Miller loop on
+    # the chip) instead of the native C++ tier
+    device_pairing: bool = False
+
     def validate(self) -> "KZGConfig":
         n = self.field_elements_per_blob
         if n & (n - 1) != 0:
             raise ValueError("field_elements_per_blob must be a power of two")
-        if self.msm_window_bits is not None and 256 % self.msm_window_bits:
-            raise ValueError("msm_window_bits must divide 256")
+        if self.msm_window_bits is not None and not (
+            1 <= self.msm_window_bits <= 16
+        ):
+            # any c works: the top window's load is alias-split for
+            # non-dividing window sizes (ops/msm._top_bits)
+            raise ValueError("msm_window_bits must be in [1, 16]")
         if self.backend not in (None, "host", "device"):
             raise ValueError("backend must be host|device|None")
         if self.mesh_shape is not None:
@@ -84,6 +94,7 @@ class KZGConfig:
                 ) from e
         window = os.environ.get("LWKZG_MSM_WINDOW_BITS")
         return KZGConfig(
+            device_pairing=os.environ.get("LWKZG_DEVICE_PAIRING") == "1",
             msm_window_bits=int(window) if window else None,
             mesh_shape=mesh_shape,
             trusted_setup_path=os.environ.get("LWKZG_TRUSTED_SETUP") or None,

@@ -132,3 +132,41 @@ def test_pairing_check_and_verify_match_host():
         dev_g1([inf1, G]), dev_g2([G2, inf2])
     )
     assert bool(np.asarray(got)[0]) is True
+
+
+def test_device_pairing_product_route(monkeypatch):
+    """KZGConfig.device_pairing / LWKZG_DEVICE_PAIRING=1 routes verify
+    and verify_batch through ops.pairing_ops (the product bridge); the
+    pairing math itself is differentially gated above. The device call
+    is spied and answered by the host oracle so the routing test stays
+    compile-free."""
+    import random
+
+    from lambdaworks_kzg_tpu.host.pairing import pairings_verify as host_pv
+    from lambdaworks_kzg_tpu.models import srs
+    from lambdaworks_kzg_tpu.models.eip4844 import EIP4844Context
+    from lambdaworks_kzg_tpu.models.kzg import HostBackend
+    from lambdaworks_kzg_tpu.ops import pairing_ops as PO
+
+    calls = []
+
+    def spy(a1, a2, b1, b2):
+        calls.append(1)
+        return host_pv(a1, a2, b1, b2)
+
+    monkeypatch.setattr(PO, "pairings_verify_host_points", spy)
+    monkeypatch.setenv("LWKZG_DEVICE_PAIRING", "1")
+    setup = srs.create_dev_setup(8, secret=0xDD)
+    ctx = EIP4844Context(setup, backend=HostBackend(setup))
+    assert ctx.kzg.config.device_pairing
+    r = random.Random(3)
+    blob = b"".join(
+        r.randrange(2**248).to_bytes(31, "little") + b"\x00" for _ in range(8)
+    )
+    c = ctx.blob_to_kzg_commitment(blob)
+    p = ctx.compute_blob_kzg_proof(blob, c)
+    assert ctx.verify_blob_kzg_proof(blob, c, p) is True
+    assert ctx.verify_blob_kzg_proof_batch([blob], [c], [p]) is True
+    bad = bytes([p[0] ^ 0x20]) + p[1:]
+    assert ctx.verify_blob_kzg_proof(blob, c, bad) is False
+    assert len(calls) >= 3
