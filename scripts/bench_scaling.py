@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 14)
     ap.add_argument("--c", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--devices",
+        type=str,
+        default="2,4,8",
+        help="comma-separated mesh sizes to sweep (single-chip always runs)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -79,7 +85,7 @@ def main():
     print(f"n=2^{n.bit_length()-1} c={c}")
     print(f"D=1 (single-chip kernel): {single:.3f}s")
     rows = [f"| 1 | {single:.3f} | 1.00 |"]
-    for d in (2, 4, 8):
+    for d in (int(x) for x in args.devices.split(",") if x):
         mesh = make_mesh(devices=jax.devices()[:d], data=1, points=d)
         step = make_msm_step(mesh, c)
         t = timed(lambda: step(pts, valid, scalars))
