@@ -209,10 +209,23 @@ class DeviceBackend:
 
         On a mesh the point list is padded (invalid lanes) to a
         power-of-two multiple of the points axis so shard shapes stay
-        uniform and the jit cache stays small."""
+        uniform and the jit cache stays small. Tiny MSMs (a handful of
+        points, e.g. small-batch verify lincombs) stay on the host tier:
+        dispatching a full sharded bucket pipeline for <= a few points
+        per device costs more in collective latency (and, on the CPU
+        dryrun mesh, minutes of compile) than the host scalar muls."""
         points = list(points_affine)
         scalars = list(scalars)
         c = _auto_window(len(points))
+        if self.mesh is not None and len(points) <= max(
+            16, 2 * self._points_axis
+        ):
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "msm: %d points below mesh threshold; host tier", len(points)
+            )
+            return HC.g1_msm([s % R for s in scalars], points)
         if self.mesh is not None:
             pa = self._points_axis
             target = pa * _ceil_pow2(-(-len(points) // pa))

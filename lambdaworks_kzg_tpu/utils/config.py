@@ -112,22 +112,53 @@ class KZGConfig:
 
     def make_backend(self, setup, mesh=None):
         """Resolve the math backend for a setup (the single decision
-        point used by models/kzg.KZG)."""
+        point used by models/kzg.KZG).
+
+        Auto (backend=None): the device tier only on real accelerators.
+        On a CPU host the XLA limb kernels run ~10x slower than the
+        Python-int oracle (single-core measured) and first-compiles take
+        minutes — HostBackend(+native C++) is strictly better there.
+        LWKZG_BACKEND=device or an explicit mesh still forces the device
+        tier (the CPU-mesh test/dryrun configurations do exactly that).
+        """
+        import logging
+
+        log = logging.getLogger(__name__)
+
         from ..models.kzg import HostBackend
 
         if self.backend == "host":
             return HostBackend(setup)
+        use_mesh = mesh if mesh is not None else self.make_mesh()
+        if self.backend is None and use_mesh is None:
+            try:
+                import jax
+
+                accel = jax.default_backend() in ("tpu", "gpu")
+            except Exception:
+                accel = False
+            if not accel:
+                log.info(
+                    "backend auto-select: no accelerator (jax backend is "
+                    "CPU or unavailable) -> host tier; set "
+                    "LWKZG_BACKEND=device to force the XLA kernels"
+                )
+                return HostBackend(setup)
         try:
             from ..ops.backend import DeviceBackend
 
             return DeviceBackend(
                 setup,
                 window_bits=self.msm_window_bits,
-                mesh=mesh if mesh is not None else self.make_mesh(),
+                mesh=use_mesh,
             )
         except Exception:
             if self.backend == "device":
                 raise
+            log.warning(
+                "backend auto-select: device tier failed to initialize; "
+                "falling back to the host oracle", exc_info=True
+            )
             return HostBackend(setup)
 
     def load_setup(self):
