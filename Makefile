@@ -5,14 +5,19 @@
 FUZZ_FNS = blob_to_kzg_commitment compute_kzg_proof compute_blob_kzg_proof \
            verify_kzg_proof verify_blob_kzg_proof verify_blob_kzg_proof_batch
 
-.PHONY: test test-fast bench capi native corpus fuzz-py fuzz-capi roofline \
+.PHONY: test test-all test-fast bench capi native corpus fuzz-py fuzz-capi roofline check-aot \
         clean $(addprefix fuzz_,$(FUZZ_FNS))
 
+# fast tier (<10 min on a 1-core box): everything but the multi-minute
+# device/mesh compile tests; CI and `make test-all` run the full suite
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q -x --ignore=tests/test_parallel.py
+	python -m pytest tests/ -q -x -m "not slow"
 
 bench:
 	python bench.py
@@ -65,6 +70,10 @@ fuzz-replay: capi corpus
 	  LD_LIBRARY_PATH=capi PYTHONPATH=. ./fuzz/replay_$$fn \
 	    testdata/corpus/$$fn/*.bin || exit 1; \
 	done
+
+# fail if shipped cache/aot_*.jaxexp artifacts predate the current kernels
+check-aot:
+	python -m pytest tests/test_aot_guard.py -q
 
 roofline:
 	python -m lambdaworks_kzg_tpu.utils.profiling

@@ -35,7 +35,83 @@ def _time_best(fn, iters, *args):
     return best
 
 
+def _backend_ready():
+    """Probe the accelerator; one retry (tunnel-attached chips flake —
+    BENCH_r02.json died on a transient axon init error with no JSON)."""
+    for attempt in (1, 2):
+        try:
+            import jax
+
+            jax.devices()
+            return jax.default_backend(), None
+        except Exception as e:  # backend init error
+            err = f"{type(e).__name__}: {e}"
+            print(f"[bench] backend probe {attempt} failed: {err}",
+                  file=sys.stderr)
+            if attempt == 1:
+                time.sleep(20)
+    return None, err
+
+
+def _host_fallback(error: str):
+    """No accelerator: emit the host-oracle number so the round still
+    records a real measurement (never rc!=0 without a JSON line)."""
+    from lambdaworks_kzg_tpu.host import curve as HC
+    from lambdaworks_kzg_tpu.models import srs
+    from lambdaworks_kzg_tpu.models.kzg import HostBackend
+
+    setup = srs.load_mainnet_setup()
+    host = HostBackend(setup)
+    rng = np.random.default_rng(42)
+    blob = _rand_blob(setup.n, rng)
+    evals = [
+        int.from_bytes(blob[i * 32 : (i + 1) * 32], "little")
+        for i in range(setup.n)
+    ]
+    t0 = time.perf_counter()
+    pt = host.commit(evals)
+    host_ms = (time.perf_counter() - t0) * 1e3
+    HC.compress_g1(pt)
+    return {
+        "metric": "blob_to_kzg_commitment",
+        "value": round(host_ms, 1),
+        "unit": "ms/blob",
+        "vs_baseline": 1.0,
+        "baseline": "host-oracle (pure-Python Pippenger, same process)",
+        "backend": "host-fallback",
+        "error": f"accelerator unavailable: {error}",
+    }
+
+
 def main():
+    backend_name, err = _backend_ready()
+    if backend_name is None:
+        print(json.dumps(_host_fallback(err)))
+        return
+    if backend_name not in ("tpu", "gpu"):
+        print(json.dumps(_host_fallback(f"jax backend is {backend_name}")))
+        return
+    partial = {}
+    try:
+        result = _device_bench(partial)
+    except Exception as e:  # emit whatever was measured before the failure
+        import traceback
+
+        traceback.print_exc()
+        result = {
+            "metric": "blob_to_kzg_commitment",
+            "value": partial.get("value"),
+            "unit": "ms/blob",
+            "vs_baseline": partial.get("vs_baseline"),
+            "backend": backend_name,
+            **{k: v for k, v in partial.items()
+               if k not in ("value", "vs_baseline")},
+            "error": f"{type(e).__name__}: {e}",
+        }
+    print(json.dumps(result))
+
+
+def _device_bench(partial):
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +142,8 @@ def main():
         ctx.blob_to_kzg_commitment(blobs[i % len(blobs)])
         best = min(best, time.perf_counter() - t0)
     device_ms = best * 1e3
+    partial["value"] = round(device_ms, 3)
+    partial["compile_s"] = round(compile_s, 1)
 
     # pipelined throughput: dispatch 16 commit MSMs async (through the
     # production path — fixed-base tables when built), block once (the
@@ -88,12 +166,14 @@ def main():
     t0 = time.perf_counter()
     host_pt = host.commit(evals)
     host_ms = (time.perf_counter() - t0) * 1e3
+    partial["vs_baseline"] = round(host_ms / device_ms, 2)
+    partial["baseline_ms"] = round(host_ms, 1)
     from lambdaworks_kzg_tpu.host import curve as HC
 
     assert HC.compress_g1(host_pt) == commitment, "device/host mismatch"
 
     # -- verify paths (native pairing + device batch pipeline) ---------------
-    extras = {}
+    extras = partial  # progressive: survives a mid-bench failure
     if os.environ.get("BENCH_SKIP_VERIFY") != "1":
         proof = ctx.compute_blob_kzg_proof(blobs[0], commitment)
         assert ctx.verify_blob_kzg_proof(blobs[0], commitment, proof)
@@ -175,9 +255,10 @@ def main():
         "baseline_ms": round(host_ms, 1),
         "backend": jax.default_backend(),
         "pipelined_ms_per_blob": round(pipelined_ms, 2),
-        **extras,
+        **{k: v for k, v in extras.items()
+           if k not in ("value", "vs_baseline", "baseline_ms")},
     }
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from typing import Tuple
 
 _cache = {}  # key -> deserialized jax.export.Exported
 _code_digest_memo = None
+_src_digest_memo = None
 
 _SRC_MODULES = (
     "limbs",
@@ -36,9 +37,11 @@ _SRC_MODULES = (
 )
 
 
-def _code_digest() -> str:
-    global _code_digest_memo
-    if _code_digest_memo is None:
+def _src_digest() -> str:
+    """Digest of the kernel sources + jax version (platform-independent —
+    what `make check-aot` / tests/test_aot_guard.py compare against)."""
+    global _src_digest_memo
+    if _src_digest_memo is None:
         import jax
 
         h = hashlib.sha256()
@@ -47,12 +50,55 @@ def _code_digest() -> str:
             with open(os.path.join(base, mod + ".py"), "rb") as f:
                 h.update(f.read())
         h.update(jax.__version__.encode())
+        _src_digest_memo = h.hexdigest()[:16]
+    return _src_digest_memo
+
+
+def _code_digest() -> str:
+    global _code_digest_memo
+    if _code_digest_memo is None:
+        h = hashlib.sha256(_src_digest().encode())
         try:
+            import jax
+
             h.update(jax.devices()[0].device_kind.encode())
         except Exception:
             pass
         _code_digest_memo = h.hexdigest()[:16]
     return _code_digest_memo
+
+
+def _index_path() -> str:
+    from ..models.srs import _CACHE_DIR
+
+    return os.path.join(_CACHE_DIR, "aot_index.json")
+
+
+def _index_record(key: str, name: str, sig: str, static) -> None:
+    """Sidecar index: artifact key -> provenance. Round 2 shipped stale
+    artifacts silently (kernels edited after prewarm, digest missed, cold
+    start regressed ~50x — VERDICT.md Weak #3); the guard test fails
+    loudly when any recorded artifact's src digest != the current one."""
+    import json
+
+    path = _index_path()
+    try:
+        idx = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                idx = json.load(f)
+        idx[key] = {
+            "name": name,
+            "sig": sig,
+            "static": str(static),
+            "src_digest": _src_digest(),
+        }
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(idx, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:  # cache dir read-only: artifacts are best-effort
+        pass
 
 
 def enabled() -> bool:
@@ -98,6 +144,7 @@ def call(name: str, jit_fn, args: Tuple, static: Tuple = ()):
                 with open(tmp, "wb") as f:
                     f.write(blob)
                 os.replace(tmp, path)
+                _index_record(key, name, sig, static)
                 # call through the DESERIALIZED form: the exporting
                 # process would otherwise compile a not-bit-identical
                 # program and pollute the persistent XLA cache with a

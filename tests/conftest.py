@@ -68,7 +68,10 @@ def device_ctx(mainnet_setup):
     )
 
 
-@pytest.fixture(scope="session", params=["host", "device"])
+@pytest.fixture(
+    scope="session",
+    params=["host", pytest.param("device", marks=pytest.mark.slow)],
+)
 def mainnet_ctx(request, host_ctx):
     """Both math tiers: the consensus vectors gate the production device
     kernels AND the Python-int oracle (README's 'either tier' contract)."""

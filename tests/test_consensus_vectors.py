@@ -70,7 +70,7 @@ def _run(ctx, fn, inp):
 
 
 _FULL_GATE = os.environ.get("LWKZG_FULL_VECTOR_GATE") == "1"
-_DEVICE_VALID_SAMPLE = 1  # valid cases per function on the device tier
+_DEVICE_VALID_SAMPLE = 3  # valid cases per function on the device tier
 _valid_seen = {}
 
 

@@ -4,6 +4,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes of XLA-CPU compile/run per program
+
 from lambdaworks_kzg_tpu.constants import R
 from lambdaworks_kzg_tpu.models import srs
 from lambdaworks_kzg_tpu.models.eip4844 import EIP4844Context, KZGError

@@ -48,6 +48,7 @@ def commitment_nomesh(mainnet_setup, blob4096):
     return ctx.blob_to_kzg_commitment(blob4096)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", MESH_SHAPES)
 def test_commitment_bit_identical_across_meshes(
     mainnet_setup, blob4096, commitment_nomesh, shape
@@ -59,6 +60,7 @@ def test_commitment_bit_identical_across_meshes(
     assert ctx.blob_to_kzg_commitment(blob4096) == commitment_nomesh
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "shape", [(1, 1), (2, 4), (1, 8)] if not _FULL else [(2, 4)]
 )
@@ -94,6 +96,7 @@ def test_full_surface_on_mesh_small_setup(shape):
     assert not ctx.verify_blob_kzg_proof_batch(blobs, cs, bps[::-1])
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     not _FULL,
     reason="4096-shape batched mesh run (LWKZG_FULL_VECTOR_GATE=1 runs it)",

@@ -17,6 +17,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes of XLA-CPU compile/run per program
+
 from lambdaworks_kzg_tpu.constants import BLS_X, P, R
 
 _FULL = os.environ.get("LWKZG_FULL_VECTOR_GATE") == "1"

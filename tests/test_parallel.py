@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes of XLA-CPU compile/run per program
+
 from lambdaworks_kzg_tpu.constants import R
 from lambdaworks_kzg_tpu.host import curve as HC
 from lambdaworks_kzg_tpu.models import srs

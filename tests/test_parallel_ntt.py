@@ -5,6 +5,8 @@ import random
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes of XLA-CPU compile/run per program
+
 from lambdaworks_kzg_tpu.constants import R
 from lambdaworks_kzg_tpu.host import fft as HFFT
 from lambdaworks_kzg_tpu.parallel import make_mesh
