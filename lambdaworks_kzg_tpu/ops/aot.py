@@ -32,6 +32,7 @@ _SRC_MODULES = (
     "formulas",
     "g1_ops",
     "pallas_g1",
+    "pallas_g1_v2",
     "dispatch",
     "msm",
 )

@@ -28,6 +28,20 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _kernels():
+    """Kernel module: v2 (limbs on the leading, vreg-granular axis) by
+    default — measured ~10-25% faster per Fp mul on v5e than the v1
+    sublane-limb layout at identical bit behavior. LWKZG_KERNEL=v1
+    selects the old layout."""
+    if os.environ.get("LWKZG_KERNEL") == "v1":
+        from . import pallas_g1
+
+        return pallas_g1
+    from . import pallas_g1_v2
+
+    return pallas_g1_v2
+
+
 def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -49,11 +63,10 @@ def _pad(arr, m_to):
 
 def madd(p, q_aff, q_valid):
     if use_pallas():
-        from . import pallas_g1
-
+        k = _kernels()
         m = p.shape[-1]
         t = _canon(m)
-        out = pallas_g1.madd(
+        out = k.madd(
             _pad(p, t), _pad(q_aff, t), _pad(q_valid, t), interpret=_interp()
         )
         return out[..., :m]
@@ -62,20 +75,18 @@ def madd(p, q_aff, q_valid):
 
 def add(p, q):
     if use_pallas():
-        from . import pallas_g1
-
+        k = _kernels()
         m = p.shape[-1]
         t = _canon(m)
-        out = pallas_g1.add(_pad(p, t), _pad(q, t), interpret=_interp())
+        out = k.add(_pad(p, t), _pad(q, t), interpret=_interp())
         return out[..., :m]
     return g1.add(p, q)
 
 
 def dbl(p):
     if use_pallas():
-        from . import pallas_g1
-
+        k = _kernels()
         m = p.shape[-1]
         t = _canon(m)
-        return pallas_g1.dbl(_pad(p, t), interpret=_interp())[..., :m]
+        return k.dbl(_pad(p, t), interpret=_interp())[..., :m]
     return g1.dbl(p)
