@@ -18,7 +18,21 @@ SETUP_4 = os.path.join(
     os.path.dirname(__file__), "..", "testdata", "trusted_setup_4.txt"
 )
 
-os.environ.setdefault("LWKZG_BACKEND", "host")
+@pytest.fixture(scope="module", autouse=True)
+def _host_backend_env():
+    """Pin the embedded adapter to the host tier for this module only.
+
+    A module-level os.environ write leaks into every later test module
+    (pytest imports all modules at collection): round 3's full-suite run
+    failed test_mesh_api because KZGConfig.from_env() saw backend=host."""
+    had = "LWKZG_BACKEND" in os.environ
+    old = os.environ.get("LWKZG_BACKEND")
+    os.environ.setdefault("LWKZG_BACKEND", "host")
+    yield
+    if had:
+        os.environ["LWKZG_BACKEND"] = old
+    else:
+        os.environ.pop("LWKZG_BACKEND", None)
 
 
 def _build():

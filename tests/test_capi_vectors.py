@@ -39,7 +39,20 @@ SETUP_TXT = os.path.join(
     os.path.dirname(__file__), "..", "testdata", "trusted_setup.txt"
 )
 
-os.environ.setdefault("LWKZG_BACKEND", "host")
+@pytest.fixture(scope="module", autouse=True)
+def _host_backend_env():
+    """Pin the embedded adapter to the host tier for this module only
+    (a module-level env write leaks into later test modules — see
+    tests/test_capi.py)."""
+    had = "LWKZG_BACKEND" in os.environ
+    old = os.environ.get("LWKZG_BACKEND")
+    os.environ.setdefault("LWKZG_BACKEND", "host")
+    yield
+    if had:
+        os.environ["LWKZG_BACKEND"] = old
+    else:
+        os.environ.pop("LWKZG_BACKEND", None)
+
 
 BLOB = 4096 * 32
 G1 = 48
