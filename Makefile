@@ -71,6 +71,18 @@ fuzz-replay: capi corpus
 	    testdata/corpus/$$fn/*.bin || exit 1; \
 	done
 
+# native tier under ASan+UBSan: the 1,400-line manual-carry C++ is where
+# memory/UB bugs would hide (reference has only -fsanitize=fuzzer on its
+# fuzz harnesses). Runs the native unit tests against the instrumented
+# .so; leak checking is off because the host interpreter (CPython)
+# "leaks" interned objects by design.
+native-asan:
+	$(MAKE) -C native asan
+	LWKZG_NATIVE_LIB=native/libbls12381_native_asan.so \
+	LD_PRELOAD=$$($(CXX) -print-file-name=libasan.so) \
+	ASAN_OPTIONS=detect_leaks=0 \
+	python -m pytest tests/test_native.py tests/test_pairing.py -q
+
 # fail if shipped cache/aot_*.jaxexp artifacts predate the current kernels
 check-aot:
 	python -m pytest tests/test_aot_guard.py -q

@@ -14,7 +14,12 @@ import subprocess
 from typing import Optional
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libbls12381_native.so")
+# LWKZG_NATIVE_LIB points the loader at an alternate build of the same
+# ABI — used by `make native-asan` to run the test suite against the
+# ASan+UBSan-instrumented library.
+_LIB_PATH = os.environ.get("LWKZG_NATIVE_LIB") or os.path.join(
+    _NATIVE_DIR, "libbls12381_native.so"
+)
 
 _lib = None
 _tried = False
@@ -50,6 +55,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lw_g1_scalar_mul.restype = ctypes.c_int
         lib.lw_g2_scalar_mul.restype = ctypes.c_int
         lib.lw_blob_eval.restype = ctypes.c_int
+        lib.lw_g1_decompress.restype = ctypes.c_int
+        lib.lw_g1_msm.restype = ctypes.c_int
         if lib.lw_init() != 0:
             print(
                 "[lambdaworks_kzg_tpu] native tier self-check failed; "
@@ -167,6 +174,69 @@ def g1_scalar_mul_affine(aff, k: int):
     )
     if inf:
         return None
+    return (
+        int.from_bytes(out.raw[:48], "big"),
+        int.from_bytes(out.raw[48:96], "big"),
+    )
+
+
+def g1_decompress(data: bytes, subgroup_check: bool = True):
+    """48-byte compressed G1 -> affine (x, y) tuple or None (infinity).
+
+    The serving-latency decompression tier (~0.3 ms/point vs ~5 ms for the
+    Python-int sqrt): exact parity with host/curve.decompress_g1,
+    including the canonical-range, on-curve, and subgroup rejections.
+    Raises ValueError with the same failure classes."""
+    lib = _load()
+    assert lib is not None
+    if len(data) != 48:
+        raise ValueError("bad length")
+    out = ctypes.create_string_buffer(96)
+    rc = lib.lw_g1_decompress(bytes(data), out, 1 if subgroup_check else 0)
+    if rc == 1:
+        return None
+    if rc == -1:
+        raise ValueError("bad encoding")
+    if rc == -2:
+        raise ValueError("x >= p")
+    if rc == -3:
+        raise ValueError("not on curve")
+    if rc == -4:
+        raise ValueError("not in subgroup")
+    if rc != 0:
+        raise ValueError(f"decompress failed ({rc})")
+    return (
+        int.from_bytes(out.raw[:48], "big"),
+        int.from_bytes(out.raw[48:96], "big"),
+    )
+
+
+def g1_msm_affine(scalars, points_affine):
+    """Small Pippenger MSM -> affine tuple or None (infinity).
+
+    scalars: ints (reduced mod r by the caller); points: affine (x, y)
+    tuples, None = infinity. The batch-verify lincomb tier (reference
+    src/lib.rs:679-685): ~6 ms at 17 points vs ~50 ms for the
+    Python-int MSM and ~60 ms for a device dispatch of that shape."""
+    lib = _load()
+    assert lib is not None
+    n = len(points_affine)
+    if len(scalars) != n:
+        raise ValueError("length mismatch")
+    sc = b"".join((int(s) % (1 << 256)).to_bytes(32, "big") for s in scalars)
+    pts = bytearray(96 * n)
+    infs = bytearray(n)
+    for i, p in enumerate(points_affine):
+        if p is None:
+            infs[i] = 1
+        else:
+            pts[96 * i : 96 * i + 96] = _g1_bytes(p)
+    out = ctypes.create_string_buffer(96)
+    rc = lib.lw_g1_msm(n, sc, bytes(pts), bytes(infs), out)
+    if rc == 1:
+        return None
+    if rc != 0:
+        raise ValueError(f"msm failed ({rc})")
     return (
         int.from_bytes(out.raw[:48], "big"),
         int.from_bytes(out.raw[48:96], "big"),

@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -1457,6 +1458,156 @@ extern "C" int lw_g1_scalar_mul(const uint8_t *p96, const uint8_t *k32_be,
     fp_mul(z3, z2, zinv);
     fp_mul(ax, out.x, z2);
     fp_mul(ay, out.y, z3);
+    fp_to_be(out96, ax);
+    fp_to_be(out96 + 48, ay);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// G1 decompression + small-MSM entry points (the serving-latency tier).
+//
+// Batch verify (reference src/lib.rs:525-614) decompresses 2n points and
+// runs three n-point lincombs; for serving batch sizes (n <= a few
+// hundred) both are latency-bound single-digit-microsecond-per-point
+// host work, the wrong shape for a device dispatch. Python-int sqrt
+// costs ~5 ms/point; this tier does ~0.3 ms/point (the subgroup
+// check's two [|x|]P scalar muls dominate).
+// ---------------------------------------------------------------------------
+
+// (p + 1) / 4, little-endian u64 words: p ≡ 3 (mod 4), so
+// sqrt(a) = a^((p+1)/4) when a is a quadratic residue.
+static const u64 P_PLUS_1_DIV_4[6] = {
+    0xee7fbfffffffeaabULL, 0x07aaffffac54ffffULL, 0xd9cc34a83dac3d89ULL,
+    0xd91dd2e13ce144afULL, 0x92c6e9ed90d2eb35ULL, 0x0680447a8e5ff9a6ULL};
+
+// p as big-endian bytes, for the canonical-range check on the wire value
+// (fp_from_be silently reduces mod p; x >= p must REJECT —
+// host/curve.py decompress_g1 "x >= p").
+static const uint8_t P_BE[48] = {
+    0x1a, 0x01, 0x11, 0xea, 0x39, 0x7f, 0xe6, 0x9a, 0x4b, 0x1b, 0xa7, 0xb6,
+    0x43, 0x4b, 0xac, 0xd7, 0x64, 0x77, 0x4b, 0x84, 0xf3, 0x85, 0x12, 0xbf,
+    0x67, 0x30, 0xd2, 0xa0, 0xf6, 0xb0, 0xf6, 0x24, 0x1e, 0xab, 0xff, 0xfe,
+    0xb1, 0x53, 0xff, 0xff, 0xb9, 0xfe, 0xff, 0xff, 0xff, 0xff, 0xaa, 0xab};
+
+// sqrt in Fp (p ≡ 3 mod 4): out = a^((p+1)/4); false if a is a non-residue.
+static bool fp_sqrt(Fp &out, const Fp &a) {
+    Fp cand, sq;
+    fp_pow(cand, a, P_PLUS_1_DIV_4, 6);
+    fp_sqr(sq, cand);
+    if (!fp_eq(sq, a)) return false;
+    out = cand;
+    return true;
+}
+
+// y lexicographically larger than -y? (compressed sign bit rule,
+// host/curve.py _fp_lexicographically_largest / reference
+// compression.rs:51-54). Compared on canonical big-endian bytes.
+static bool fp_lex_largest(const Fp &y) {
+    Fp ny;
+    fp_neg(ny, y);
+    uint8_t yb[48], nyb[48];
+    fp_to_be(yb, y);
+    fp_to_be(nyb, ny);
+    return memcmp(yb, nyb, 48) > 0;
+}
+
+// 48-byte compressed G1 -> 96-byte big-endian affine (x || y).
+// Returns 0 = ok, 1 = point at infinity (out96 zeroed),
+//   -1 bad flags/encoding, -2 x >= p, -3 not on curve,
+//   -4 not in subgroup. Exact parity: host/curve.py decompress_g1.
+extern "C" int lw_g1_decompress(const uint8_t *in48, uint8_t *out96,
+                                int subgroup_check) {
+    if (!INITIALIZED) lw_init();
+    uint8_t flags = in48[0];
+    if (!(flags & 0x80)) return -1;  // uncompressed bit
+    if (flags & 0x40) {              // infinity
+        if (flags != 0xC0) return -1;
+        for (int i = 1; i < 48; i++)
+            if (in48[i]) return -1;
+        memset(out96, 0, 96);
+        return 1;
+    }
+    uint8_t xbe[48];
+    memcpy(xbe, in48, 48);
+    xbe[0] = flags & 0x1F;
+    if (memcmp(xbe, P_BE, 48) >= 0) return -2;
+    Fp x, y2, y, four, t;
+    fp_from_be(x, xbe);
+    // y^2 = x^3 + 4
+    fp_sqr(t, x);
+    fp_mul(y2, t, x);
+    fp_add(four, FP_ONE, FP_ONE);
+    fp_add(four, four, four);
+    fp_add(y2, y2, four);
+    if (!fp_sqrt(y, y2)) return -3;
+    bool want_large = (flags & 0x20) != 0;
+    if (fp_lex_largest(y) != want_large) {
+        Fp ny;
+        fp_neg(ny, y);
+        y = ny;
+    }
+    fp_to_be(out96, x);
+    fp_to_be(out96 + 48, y);
+    if (subgroup_check && lw_g1_in_subgroup(out96) != 1) return -4;
+    return 0;
+}
+
+// Pippenger MSM over <= a few thousand affine points (the batch-verify
+// lincombs, reference src/lib.rs:679-685). scalars: n * 32 bytes BE;
+// points: n * 96 bytes BE affine; infs[i] != 0 marks an infinity input
+// (skipped). Returns 1 if the sum is infinity, 0 otherwise (out96 = BE
+// affine), -1 on bad n.
+extern "C" int lw_g1_msm(int n, const uint8_t *scalars,
+                         const uint8_t *points, const uint8_t *infs,
+                         uint8_t *out96) {
+    if (!INITIALIZED) lw_init();
+    if (n < 0) return -1;
+    const int c = n < 64 ? 4 : 8;
+    const int nbuckets = (1 << c) - 1;  // bucket 0 unused
+    const int nwin = (256 + c - 1) / c;
+    std::vector<Jac<Fp>> pts(n);
+    std::vector<bool> skip(n);
+    for (int i = 0; i < n; i++) {
+        skip[i] = infs && infs[i];
+        if (skip[i]) continue;
+        fp_from_be(pts[i].x, points + 96 * i);
+        fp_from_be(pts[i].y, points + 96 * i + 48);
+        pts[i].z = FP_ONE;
+        pts[i].inf = false;
+    }
+    Jac<Fp> acc;
+    acc.inf = true;
+    memset(&acc.x, 0, sizeof(acc.x));
+    memset(&acc.y, 0, sizeof(acc.y));
+    memset(&acc.z, 0, sizeof(acc.z));
+    std::vector<Jac<Fp>> buckets(nbuckets);
+    for (int w = nwin - 1; w >= 0; w--) {
+        for (int k = 0; k < c; k++) jac_double(FP_VT, acc, acc);
+        for (int b = 0; b < nbuckets; b++) buckets[b] = acc, buckets[b].inf = true;
+        for (int i = 0; i < n; i++) {
+            if (skip[i]) continue;
+            int bit = c * w;
+            int byte = 31 - bit / 8;
+            unsigned v = scalars[32 * i + byte];
+            if (byte >= 1) v |= (unsigned)scalars[32 * i + byte - 1] << 8;
+            unsigned digit = (v >> (bit % 8)) & ((1u << c) - 1);
+            if (digit) jac_add(FP_VT, buckets[digit - 1], buckets[digit - 1], pts[i]);
+        }
+        // suffix-sum: sum_b b * B_b
+        Jac<Fp> run = buckets[nbuckets - 1], tot = run;
+        for (int b = nbuckets - 2; b >= 0; b--) {
+            jac_add(FP_VT, run, run, buckets[b]);
+            jac_add(FP_VT, tot, tot, run);
+        }
+        jac_add(FP_VT, acc, acc, tot);
+    }
+    if (acc.inf) return 1;
+    Fp zinv, z2, z3, ax, ay;
+    fp_inv(zinv, acc.z);
+    fp_sqr(z2, zinv);
+    fp_mul(z3, z2, zinv);
+    fp_mul(ax, acc.x, z2);
+    fp_mul(ay, acc.y, z3);
     fp_to_be(out96, ax);
     fp_to_be(out96 + 48, ay);
     return 0;

@@ -115,3 +115,70 @@ def test_kzg_verify_uses_native_and_agrees(kzg, monkeypatch):
     monkeypatch.setattr(native, "_tried", True)
     assert kzg.verify(commitment, z, y, proof)
     assert not kzg.verify(commitment, z, (y + 1) % R, proof)
+
+
+def test_g1_decompress_matches_oracle():
+    """Valid points, infinity, and every rejection class agree with
+    host/curve.decompress_g1 (the serving decompression tier)."""
+    rng = random.Random(31)
+    for _ in range(10):
+        pt = HC.point_scalar_mul(OPS, HC.G1_GENERATOR, rng.randrange(1, R))
+        comp = HC.compress_g1(pt)
+        assert native.g1_decompress(comp) == HC.to_affine(
+            OPS, HC.decompress_g1(comp)
+        )
+    assert native.g1_decompress(HC.compress_g1(HC.infinity(OPS))) is None
+
+    def rejects(data):
+        with pytest.raises(ValueError):
+            native.g1_decompress(bytes(data))
+        with pytest.raises(HC.DeserializationError):
+            HC.decompress_g1(bytes(data))
+
+    rejects(b"\x00" * 48)                      # uncompressed bit unset
+    rejects(b"\xc0" + b"\x01" + b"\x00" * 46)  # bad infinity encoding
+    over_p = bytearray(P.to_bytes(48, "big"))
+    over_p[0] |= 0x80
+    rejects(over_p)                            # x >= p
+    x = 5
+    while fp_sqrt((x * x * x + 4) % P) is not None:
+        x += 1
+    off = bytearray(x.to_bytes(48, "big"))
+    off[0] |= 0x80
+    rejects(off)                               # not on curve
+    x = 3
+    while True:
+        y = fp_sqrt((x * x * x + 4) % P)
+        if y is not None and not HC.g1_in_subgroup((x, y, 1)):
+            break
+        x += 1
+    rogue = bytearray(x.to_bytes(48, "big"))
+    rogue[0] |= 0x80
+    if y > P - y:
+        rogue[0] |= 0x20
+    rejects(rogue)                             # on curve, wrong subgroup
+
+
+def test_g1_msm_matches_oracle():
+    """Small-MSM tier (batch-verify lincombs) vs the Python Pippenger,
+    including infinity inputs and the all-zero-scalar sum."""
+    rng = random.Random(32)
+    for n in (1, 2, 17, 64, 80):
+        scalars = [rng.randrange(R) for _ in range(n)]
+        affs = [
+            HC.to_affine(
+                OPS, HC.point_scalar_mul(OPS, HC.G1_GENERATOR, rng.randrange(1, R))
+            )
+            for _ in range(n)
+        ]
+        if n >= 17:
+            affs[3] = None  # infinity input lane
+        want = HC.g1_msm(scalars, affs)
+        got = native.g1_msm_affine(scalars, affs)
+        if HC.is_infinity(OPS, want):
+            assert got is None
+        else:
+            assert got == HC.to_affine(OPS, want)
+    g = HC.to_affine(OPS, HC.G1_GENERATOR)
+    assert native.g1_msm_affine([0, 0], [g, g]) is None
+    assert native.g1_msm_affine([1, R - 1], [g, g]) is None  # P + (-P)
