@@ -97,6 +97,33 @@ def _sort_members(digits: jnp.ndarray, n: int, digit_bits: int):
     return order, jnp.take_along_axis(digits, order, axis=1)
 
 
+def prepare_digits(
+    scalars: jnp.ndarray, valid: jnp.ndarray, c: int
+) -> jnp.ndarray:
+    """scalars uint32[16, N] + valid bool[N] -> alias-split digits [W, N].
+
+    Invalid points and zero digits route to bucket 0 (ignored later).
+
+    Top-window alias split (any c): top digits are < 2^t (_top_bits),
+    so buckets >= 2^t are free. Round-robin points across the
+    2^(c - t) aliases of each bucket (merged back in bucket_reduce),
+    flattening the top window's otherwise-concentrated load. This is
+    what makes non-dividing window sizes (c = 10, 12, ...) viable —
+    without it the top window's <= 2^t occupied buckets carry
+    2^(c-t) times the mean load and dominate the lockstep rounds.
+    """
+    n = scalars.shape[1]
+    digits = window_digits(scalars, c)  # [W, N]
+    digits = jnp.where(valid[None, :], digits, 0)
+    t_bits = _top_bits(c)
+    aliases = 1 << (c - t_bits)
+    alias = (jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(aliases - 1)) * (
+        jnp.uint32(1 << t_bits)
+    )
+    top = digits[-1]
+    return digits.at[-1].set(jnp.where(top != 0, top + alias, 0))
+
+
 def bucket_accumulate(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -111,28 +138,22 @@ def bucket_accumulate(
     returns: uint32[3, L, M] Jacobian bucket sums, M = W * 2^c laid out
              m = w * 2^c + b (bucket 0 of each window is junk).
     """
+    return bucket_accumulate_digits(
+        points, prepare_digits(scalars, valid, c), c
+    )
+
+
+def bucket_accumulate_digits(
+    points: jnp.ndarray,
+    digits: jnp.ndarray,
+    c: int,
+) -> jnp.ndarray:
+    """bucket_accumulate from prepared digits [W', N] (any window count —
+    the window-sharded multi-chip path feeds each device its own window
+    slice of prepare_digits' output; see parallel/msm.py)."""
     n = points.shape[-1]
     num_buckets = 1 << c
-    digits = window_digits(scalars, c)  # [W, N]
     num_windows = digits.shape[0]
-
-    # route invalid points and zero digits to bucket 0 (ignored later)
-    digits = jnp.where(valid[None, :], digits, 0)
-
-    # Top-window alias split (any c): top digits are < 2^t (_top_bits),
-    # so buckets >= 2^t are free. Round-robin points across the
-    # 2^(c - t) aliases of each bucket (merged back in bucket_reduce),
-    # flattening the top window's otherwise-concentrated load. This is
-    # what makes non-dividing window sizes (c = 10, 12, ...) viable —
-    # without it the top window's <= 2^t occupied buckets carry
-    # 2^(c-t) times the mean load and dominate the lockstep rounds.
-    t_bits = _top_bits(c)
-    aliases = 1 << (c - t_bits)
-    alias = (jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(aliases - 1)) * (
-        jnp.uint32(1 << t_bits)
-    )
-    top = digits[-1]
-    digits = digits.at[-1].set(jnp.where(top != 0, top + alias, 0))
 
     order, sorted_digits = _sort_members(digits, n, c)
 
@@ -342,7 +363,12 @@ def _top_bits(c: int) -> int:
     return 255 - c * (num_windows - 1)
 
 
-def bucket_reduce(buckets: jnp.ndarray, c: int, merge_top: bool = True) -> jnp.ndarray:
+def bucket_reduce(
+    buckets: jnp.ndarray,
+    c: int,
+    merge_top: bool = True,
+    top_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """[3, L, M] buckets -> [3, L, W] window sums S_w = sum_b b*B_b.
 
     TPU: fold-reduce (~3*2^c adds per window; its halving shapes land on
@@ -353,12 +379,16 @@ def bucket_reduce(buckets: jnp.ndarray, c: int, merge_top: bool = True) -> jnp.n
     of many-shape limb graphs took >30 minutes); the scan's extra ~2c
     full-width adds only matter on real chips (~19 ms at M = 8192,
     ~143 ns per in-loop lane-add measured).
+
+    top_mask: bool[W] marking which window(s) carry the alias-split top
+    digits (window-sharded path: the global top window lands on an
+    arbitrary shard position); None = the last window (single-chip).
     """
     arr = _zero_bucket0(buckets, c)
     if merge_top:  # generic path only: bucket_accumulate alias-splits the
         # top window; the fixed-base grid has no top window (lanes are
         # groups) and must NOT be merged
-        arr = _merge_top_aliases(arr, c)
+        arr = _merge_top_aliases(arr, c, top_mask)
     from . import dispatch
 
     if dispatch.use_pallas():
@@ -372,31 +402,60 @@ def _zero_bucket0(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
     return jnp.where((b_idx == 0)[None, None, :], 0, buckets)
 
 
-def _merge_top_aliases(arr: jnp.ndarray, c: int) -> jnp.ndarray:
+def _merge_top_aliases(
+    arr: jnp.ndarray, c: int, top_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Merge the top window's alias lanes back: bucket b's aliases live
-    at lanes b + a * 2^t for a in [0, 2^(c-t)) (see bucket_accumulate).
-    log2(aliases) pairwise folds, each a lane-add on the live half."""
+    at lanes b + a * 2^t for a in [0, 2^(c-t)) (see prepare_digits).
+    log2(aliases) pairwise folds, each a lane-add on the live half.
+
+    top_mask None: the top window is the LAST window (single-chip) and
+    only its lanes are folded. Otherwise: fold EVERY window and select
+    merged vs original per window (the window-sharded path — one shard
+    owns the global top window at an arbitrary local position; the
+    extra folds are over a per-shard array 1/D the size)."""
     num_buckets = 1 << c
     w = arr.shape[-1] // num_buckets
     arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
-    live = arr4[..., -1:, :]
     t_bits = _top_bits(c)
+    if top_mask is None:
+        live = arr4[..., -1:, :]
+        for _ in range(c - t_bits):
+            half = live.shape[-1] // 2
+            lo = live[..., :half]
+            hi = live[..., half:]
+            live = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
+        top = jnp.concatenate(
+            [
+                live,
+                jnp.zeros(
+                    live.shape[:-1] + (num_buckets - live.shape[-1],),
+                    live.dtype,
+                ),
+            ],
+            axis=-1,
+        )
+        arr4 = jnp.concatenate([arr4[..., :-1, :], top], axis=-2)
+        return arr4.reshape(arr.shape)
+
+    merged = arr4
     for _ in range(c - t_bits):
-        half = live.shape[-1] // 2
-        lo = live[..., :half]
-        hi = live[..., half:]
-        live = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
-    top = jnp.concatenate(
+        half = merged.shape[-1] // 2
+        lo = merged[..., :half]
+        hi = merged[..., half:]
+        merged = _add(_flat(lo), _flat(hi)).reshape(lo.shape)
+    merged = jnp.concatenate(
         [
-            live,
+            merged,
             jnp.zeros(
-                live.shape[:-1] + (num_buckets - live.shape[-1],), live.dtype
+                merged.shape[:-1] + (num_buckets - merged.shape[-1],),
+                merged.dtype,
             ),
         ],
         axis=-1,
     )
-    arr4 = jnp.concatenate([arr4[..., :-1, :], top], axis=-2)
-    return arr4.reshape(arr.shape)
+    sel = top_mask[None, None, :, None]
+    return jnp.where(sel, merged, arr4).reshape(arr.shape)
 
 
 def _bucket_reduce_fold(arr: jnp.ndarray, c: int) -> jnp.ndarray:

@@ -53,44 +53,114 @@ def _local_window_sums(points, valid, scalars, c: int) -> jnp.ndarray:
     return msm1.bucket_reduce(msm1.bucket_accumulate(points, valid, scalars, c), c)
 
 
-def make_msm_step(mesh: Mesh, c: int = 8):
+# Below ~2^14 points per shard, Pippenger bucket loads are small enough
+# that the max/mean skew (Binomial tail) makes point-sharding pay <70%
+# efficiency (measured: 1.52x overhead at 2048-pt shards, ~5% at 2^17) —
+# window-sharding has no such term, so "auto" switches on shard size.
+_POINTS_SHARD_MIN = 1 << 14
+
+
+def make_msm_step(mesh: Mesh, c: int = 8, shard: str = "points"):
     """Build (and cache) the jitted single-MSM multi-chip step.
 
     Step fn: (points[2, L, N], valid[N], scalars[16, N]) -> replicated
-    window sums [3, L, W]. N must be divisible by the ``points`` axis.
+    window sums [3, L, W].
+
+    shard="points": points/valid/scalars sharded over the ``points``
+    axis; N must be divisible by the axis size. Wins at large N (the
+    per-shard bucket skew term vanishes as shard loads grow).
+
+    shard="windows": inputs replicated; each device runs the bucket
+    pipeline for its ceil(W/D) Pippenger WINDOWS of the full point set.
+    Per-device bucket loads equal the single-chip per-window loads, so
+    there is NO small-shard skew — this is the protocol-shape (4096-pt
+    commit) scaling mode. Communication: one all_gather of [3, L, W/D]
+    window sums (a few KB).
     """
-    key = (mesh, c, "single")
+    key = (mesh, c, "single", shard)
     if key in _steps:
         return _steps[key]
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P(None, None, "points"),
-            P("points"),
-            P(None, "points"),
-        ),
-        out_specs=P(),
-        check_vma=False,
-    )
-    def step(pts, vld, scl):
-        ws = _local_window_sums(pts, vld, scl, c)
-        all_ws = jax.lax.all_gather(ws, "points")  # [D, 3, L, W]
-        return _tree_fold_points(all_ws)
+    if shard == "windows":
+        step = _make_window_sharded_step(mesh, c)
+    else:
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, "points"),
+                P("points"),
+                P(None, "points"),
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def step(pts, vld, scl):
+            ws = _local_window_sums(pts, vld, scl, c)
+            all_ws = jax.lax.all_gather(ws, "points")  # [D, 3, L, W]
+            return _tree_fold_points(all_ws)
 
     _steps[key] = jax.jit(step)
     return _steps[key]
 
 
-def sharded_msm_device(mesh: Mesh, points, valid, scalars, c: int = 8):
-    """MSM with points sharded over the ``points`` mesh axis."""
-    return make_msm_step(mesh, c)(points, valid, scalars)
+def _make_window_sharded_step(mesh: Mesh, c: int):
+    """Window-sharded MSM step body (see make_msm_step docstring)."""
+    d_size = mesh.shape["points"]
+    num_windows = (256 + c - 1) // c
+    wd = -(-num_windows // d_size)  # windows per device
+    w_pad = wd * d_size
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def step(pts, vld, scl):
+        digits = msm1.prepare_digits(scl, vld, c)  # [W, N] (replicated)
+        if w_pad != num_windows:
+            digits = jnp.concatenate(
+                [
+                    digits,
+                    jnp.zeros(
+                        (w_pad - num_windows, digits.shape[1]), digits.dtype
+                    ),
+                ],
+                axis=0,
+            )
+        d = jax.lax.axis_index("points")
+        mine = jax.lax.dynamic_slice_in_dim(digits, d * wd, wd, axis=0)
+        buckets = msm1.bucket_accumulate_digits(pts, mine, c)
+        gw = d * wd + jnp.arange(wd)
+        ws = msm1.bucket_reduce(buckets, c, top_mask=gw == num_windows - 1)
+        all_ws = jax.lax.all_gather(ws, "points")  # [D, 3, L, wd]
+        full = jnp.transpose(all_ws, (1, 2, 0, 3)).reshape(
+            3, ws.shape[1], w_pad
+        )
+        return full[..., :num_windows]
+
+    return step
 
 
-def sharded_msm(mesh: Mesh, points, valid, scalars, c: int = 8):
+def sharded_msm_device(mesh: Mesh, points, valid, scalars, c: int = 8,
+                       shard: str = "auto"):
+    """MSM sharded over the ``points`` mesh axis (by points or windows;
+    "auto" picks windows when per-device point shards would fall under
+    the skew knee, see _POINTS_SHARD_MIN)."""
+    if shard == "auto":
+        d = mesh.shape["points"]
+        n = points.shape[-1]
+        shard = "points" if n // d >= _POINTS_SHARD_MIN else "windows"
+    return make_msm_step(mesh, c, shard)(points, valid, scalars)
+
+
+def sharded_msm(mesh: Mesh, points, valid, scalars, c: int = 8,
+                shard: str = "auto"):
     """Multi-chip MSM -> host Jacobian point (Python ints)."""
-    ws = sharded_msm_device(mesh, points, valid, scalars, c)
+    ws = sharded_msm_device(mesh, points, valid, scalars, c, shard)
     return msm1.combine_windows_host(ws, c)
 
 

@@ -42,6 +42,12 @@ def main():
         default="2,4,8",
         help="comma-separated mesh sizes to sweep (single-chip always runs)",
     )
+    ap.add_argument(
+        "--shard",
+        type=str,
+        default="points,windows",
+        help="comma-separated shard modes to sweep (points, windows)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -83,21 +89,24 @@ def main():
 
     single = timed(lambda: msm1.msm_device(pts, valid, scalars, c))
     print(f"n=2^{n.bit_length()-1} c={c}")
-    print(f"D=1 (single-chip kernel): {single:.3f}s")
-    rows = [f"| 1 | {single:.3f} | 1.00 |"]
+    print(f"D=1 (single-chip kernel): {single:.3f}s", flush=True)
+    rows = [f"| 1 | — | {single:.3f} | 1.00 |"]
+    shards = [s for s in args.shard.split(",") if s]
     for d in (int(x) for x in args.devices.split(",") if x):
         mesh = make_mesh(devices=jax.devices()[:d], data=1, points=d)
-        step = make_msm_step(mesh, c)
-        t = timed(lambda: step(pts, valid, scalars))
-        print(
-            f"D={d} (points-sharded, serial emulation): {t:.3f}s "
-            f"overhead {t/single:.2f}x -> projected efficiency "
-            f"{100/ (t/single):.0f}%"
-        )
-        rows.append(f"| {d} | {t:.3f} | {t/single:.2f} |")
+        for shard in shards:
+            step = make_msm_step(mesh, c, shard)
+            t = timed(lambda: step(pts, valid, scalars))
+            print(
+                f"D={d} ({shard}-sharded, serial emulation): {t:.3f}s "
+                f"overhead {t/single:.2f}x -> projected efficiency "
+                f"{100/ (t/single):.0f}%",
+                flush=True,
+            )
+            rows.append(f"| {d} | {shard} | {t:.3f} | {t/single:.2f} |")
     print()
-    print("| devices | wall s (serial emulation) | overhead vs single |")
-    print("|---|---|---|")
+    print("| devices | shard | wall s (serial emulation) | overhead vs single |")
+    print("|---|---|---|---|")
     for r in rows:
         print(r)
 

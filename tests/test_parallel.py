@@ -59,7 +59,8 @@ def test_sharded_msm_matches_host_oracle(dev_setup, device_points, mesh):
     scalars_ints = _rand_scalars(N, rng)
     expected = HC.g1_msm(scalars_ints, dev_setup.g1_lagrange_brp)
     got = sharded_msm(
-        mesh, points, valid, msm1.scalars_to_device(scalars_ints), c=C_BITS
+        mesh, points, valid, msm1.scalars_to_device(scalars_ints),
+        c=C_BITS, shard="points",
     )
     assert HC.points_eq(HC.FP_OPS, got, expected)
 
@@ -70,7 +71,26 @@ def test_sharded_msm_edge_lanes(dev_setup, device_points, mesh):
     scalars_ints = [0] * (N - 2) + [1, 2]
     expected = HC.g1_msm(scalars_ints, dev_setup.g1_lagrange_brp)
     got = sharded_msm(
-        mesh, points, valid, msm1.scalars_to_device(scalars_ints), c=C_BITS
+        mesh, points, valid, msm1.scalars_to_device(scalars_ints),
+        c=C_BITS, shard="points",
+    )
+    assert HC.points_eq(HC.FP_OPS, got, expected)
+
+
+def test_window_sharded_msm_matches_host_oracle(
+    dev_setup, device_points, mesh
+):
+    """shard="windows": each device owns ceil(W/D) Pippenger windows of
+    the FULL point set (the no-skew mode for protocol-size commits);
+    bits must match the host oracle, including the alias-split top
+    window landing on a non-final shard position."""
+    rng = random.Random(11)
+    points, valid = device_points
+    scalars_ints = _rand_scalars(N, rng)
+    expected = HC.g1_msm(scalars_ints, dev_setup.g1_lagrange_brp)
+    got = sharded_msm(
+        mesh, points, valid, msm1.scalars_to_device(scalars_ints),
+        c=C_BITS, shard="windows",
     )
     assert HC.points_eq(HC.FP_OPS, got, expected)
 
