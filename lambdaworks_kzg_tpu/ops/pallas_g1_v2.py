@@ -84,37 +84,56 @@ def _place(x, offset, out_limbs):
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+def _acc_band(acc, p, j, out_limbs):
+    """acc[j : j+la+1] += (p & MASK) + (p >> 16 shifted one row up).
+
+    The two 16-bit halves of the product column are pre-combined into one
+    (la+1)-row band (row sums < 2^17 + band accumulation headroom — see
+    _mul_acc bound) and added into the matching row SLICE of acc; rows
+    outside the band are untouched concat renames. The previous
+    formulation added two full out_limbs-row zero-padded arrays per j —
+    twice the VPU add work for the same result (the adds dominate the
+    schoolbook op mix; measured ~10%+ off the madd kernel)."""
+    la = p.shape[0]
+    band_n = min(la + 1, out_limbs - j)
+    lo = p & MASK
+    hi = p >> 16
+    rows = [lo[:1]]  # band row 0 = lo[0]
+    mid_n = min(band_n, la) - 1  # band rows 1..la-1 = lo[i] + hi[i-1]
+    if mid_n > 0:
+        rows.append(lo[1 : 1 + mid_n] + hi[:mid_n])
+    if band_n == la + 1:  # band row la = hi[la-1]
+        rows.append(hi[la - 1 : la])
+    band = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    seg = acc[j : j + band_n] + band
+    parts = []
+    if j:
+        parts.append(acc[:j])
+    parts.append(seg)
+    if j + band_n < out_limbs:
+        parts.append(acc[j + band_n :])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def _mul_acc(a, b, out_limbs):
     """Schoolbook a[la,...] * b[lb,...] -> [out_limbs, ...] carried.
 
-    Column accumulation < 2^22 (sum of <= 2*lb 16-bit parts): one carry
-    pass at the end is exact (same bound argument as v1)."""
-    la = a.shape[0]
-    lb = b.shape[0]
+    Column accumulation < 2^22 (sum of <= 2*lb 16-bit parts, each
+    band-combined pair < 2^17): one carry pass at the end is exact (same
+    bound argument as v1)."""
     acc = jnp.zeros((out_limbs,) + a.shape[1:], dtype=jnp.uint32)
-    for j in range(lb):
+    for j in range(b.shape[0]):
         p = a * b[j : j + 1]  # u16*u16 fits u32 exactly
-        lo_hi = min(la, out_limbs - j)
-        if lo_hi > 0:
-            acc = acc + _place(p[:lo_hi] & MASK, j, out_limbs)
-        hi_hi = min(la, out_limbs - j - 1)
-        if hi_hi > 0:
-            acc = acc + _place(p[:hi_hi] >> 16, j + 1, out_limbs)
+        acc = _acc_band(acc, p, j, out_limbs)
     return _carry(acc)
 
 
 def _mul_acc_const(a, const_scalars, out_limbs):
     """Schoolbook multiply by per-limb SMEM scalar constants."""
-    la = a.shape[0]
     acc = jnp.zeros((out_limbs,) + a.shape[1:], dtype=jnp.uint32)
     for j, cj in enumerate(const_scalars):
         p = a * cj.astype(jnp.uint32)
-        lo_hi = min(la, out_limbs - j)
-        if lo_hi > 0:
-            acc = acc + _place(p[:lo_hi] & MASK, j, out_limbs)
-        hi_hi = min(la, out_limbs - j - 1)
-        if hi_hi > 0:
-            acc = acc + _place(p[:hi_hi] >> 16, j + 1, out_limbs)
+        acc = _acc_band(acc, p, j, out_limbs)
     return _carry(acc)
 
 

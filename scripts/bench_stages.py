@@ -48,8 +48,12 @@ def main():
     points = jnp.asarray(
         rng.integers(0, 2**16, (2, 24, n), dtype=np.uint32))
     valid = jnp.ones((n,), dtype=bool)
-    scalars = jnp.asarray(
-        rng.integers(0, 2**16, (16, n), dtype=np.uint32))
+    # Scalars MUST be < 2^255 (Fr range): the top-window alias split
+    # assumes top digits < 2^(255 - c*(W-1)); full-width random limbs
+    # overload the last bucket ~1000x and trip the device watchdog.
+    sc = rng.integers(0, 2**16, (16, n), dtype=np.uint32)
+    sc[15] &= 0x7FFF
+    scalars = jnp.asarray(sc)
 
     @functools.partial(jax.jit, static_argnames=("cc",))
     def stage_sort(sc, cc):
