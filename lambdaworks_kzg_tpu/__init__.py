@@ -47,11 +47,40 @@ def _configure_compile_cache():
                 os.path.expanduser("~"), ".cache", "lambdaworks_kzg_tpu", "jax"
             )
             _migrate_legacy_cache(cache)
+            _seed_bundled_cache(cache)
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # jax absent or too old: the host tier still works
+
+
+def _seed_bundled_cache(cache: str) -> None:
+    """Seed the per-user XLA cache with the repo-bundled TPU entries.
+
+    cache/tpu_jax_cache/ ships the compiled-program cache entries for the
+    protocol-shape kernels (written by scripts/prewarm.py on a v5e chip
+    and committed) — a fresh machine's first commit call then costs
+    seconds (deserialize + cache hit) instead of the ~3 min cold
+    XLA+Mosaic compile. Entries are copied (not symlinked) so the user
+    cache stays self-contained; wrong-platform entries are simply never
+    hit (keys include platform + compile options)."""
+    import os
+    import shutil
+
+    bundle = os.path.join(
+        os.path.dirname(__file__), "..", "cache", "tpu_jax_cache"
+    )
+    if not os.path.isdir(bundle):
+        return
+    try:
+        os.makedirs(cache, exist_ok=True)
+        for name in os.listdir(bundle):
+            dst = os.path.join(cache, name)
+            if not os.path.exists(dst):
+                shutil.copyfile(os.path.join(bundle, name), dst)
+    except OSError:
+        pass
 
 
 def _migrate_legacy_cache(cache: str) -> None:

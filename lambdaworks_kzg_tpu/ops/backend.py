@@ -28,13 +28,17 @@ from .field_ops import FR
 def _auto_window(n: int) -> int:
     """Pippenger window size tuned for lane occupancy vs. bucket load.
 
-    c must divide 256 evenly: otherwise the top window spans past bit
-    255 and its few occupied buckets concentrate the load — the lockstep
-    accumulation loop runs max-bucket-load iterations, so a skewed top
-    window dominates (measured 10x regression at c=10 on 2^16 points).
+    Any c is viable since the top-window alias split (ops/msm.py
+    prepare_digits); the trade is members (W = ceil(256/c) gathers+madds
+    per point) against bucket-load skew (max/mean grows as mean load
+    n/2^c shrinks). Measured on v5e at 2^20: c=12 503k pts/s vs c=8
+    420k, c=10 383k, c=13 414k; below ~2^18 the c=12 skew term
+    dominates and c=8 wins.
     """
     if n <= 256:
         return 4
+    if n >= (1 << 18):
+        return 12
     return 8
 
 

@@ -49,6 +49,23 @@ from .field_ops import FR
 _GROUP_LANES = 8192
 
 
+def _row_words() -> int:
+    """Gathered point-row width in u32 words (>= 48; pad beyond 2L=48
+    buys DMA efficiency — 128 measured best on v5e; see
+    bucket_accumulate). LWKZG_MSM_ROW_WORDS overrides for experiments."""
+    import os
+
+    return int(os.environ.get("LWKZG_MSM_ROW_WORDS", "128"))
+
+
+def _chunk_cap() -> int:
+    """Slots gathered per bulk take (lockstep overshoot is < chunk per
+    group). LWKZG_MSM_CHUNK overrides for experiments."""
+    import os
+
+    return int(os.environ.get("LWKZG_MSM_CHUNK", "32"))
+
+
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     """scalars: uint32[16, N] plain Fr limbs -> digits uint32[W, N].
 
@@ -178,7 +195,8 @@ def bucket_accumulate_digits(
     # halves gather cost for 2.7x the (cheap) HBM footprint.
     l = points.shape[1]
     rowm = jnp.transpose(points, (2, 0, 1)).reshape(n, 2 * l)  # [N, 2L]
-    points_rowmajor = jnp.pad(rowm, ((0, 0), (0, 128 - 2 * l)))
+    rw = max(_row_words(), 2 * l)
+    points_rowmajor = jnp.pad(rowm, ((0, 0), (0, rw - 2 * l)))
 
     # Chunked accumulation (TPU): gather CHUNK slots for every bucket
     # lane in ONE bulk take per outer round (bulk takes amortize XLA's
@@ -211,7 +229,7 @@ def bucket_accumulate_digits(
         )
         return buckets
 
-    chunk = max(1, min(32, n))
+    chunk = max(1, min(_chunk_cap(), n))
     order_flat = order.reshape(-1)  # [W*N]
 
     # Window-grouped lockstep: cap each grid at <= 8192 lanes (the top
@@ -648,7 +666,8 @@ def msm_fixedbase_device(table, table_valid, scalars, c: int = 8,
     l = table.shape[1]
     # 128-word padded rows: see bucket_accumulate on gather row size
     rowm = jnp.transpose(table, (2, 0, 1)).reshape(n_members, 2 * l)
-    points_rowmajor = jnp.pad(rowm, ((0, 0), (0, 128 - 2 * l)))
+    rw = max(_row_words(), 2 * l)
+    points_rowmajor = jnp.pad(rowm, ((0, 0), (0, rw - 2 * l)))
     from . import dispatch as _dispatch
 
     if not _dispatch.use_pallas():
@@ -674,7 +693,8 @@ def msm_fixedbase_device(table, table_valid, scalars, c: int = 8,
             group_sums.reshape(group_sums.shape[:-1] + (1, groups))
         )
 
-    chunk = max(1, min(16, (n_members + groups - 1) // groups))
+    chunk = max(1, min(_chunk_cap() // 2,
+                       (n_members + groups - 1) // groups))
 
     def body(carry):
         base, buckets = carry
