@@ -50,20 +50,23 @@ _GROUP_LANES = 8192
 
 
 def _row_words() -> int:
-    """Gathered point-row width in u32 words (>= 48; pad beyond 2L=48
-    buys DMA efficiency — 128 measured best on v5e; see
-    bucket_accumulate). LWKZG_MSM_ROW_WORDS overrides for experiments."""
+    """Gathered point-row width in u32 words (>= 48). Pad beyond
+    2L=48 to a power-of-2 row: the bulk row gather is purely
+    per-descriptor-bound on v5e (64 vs 128 words measured IDENTICAL at
+    2^20, ~40 ns/row), so the smallest aligned row wins on HBM
+    footprint. LWKZG_MSM_ROW_WORDS overrides for experiments."""
     import os
 
-    return int(os.environ.get("LWKZG_MSM_ROW_WORDS", "128"))
+    return int(os.environ.get("LWKZG_MSM_ROW_WORDS", "64"))
 
 
 def _chunk_cap() -> int:
     """Slots gathered per bulk take (lockstep overshoot is < chunk per
-    group). LWKZG_MSM_CHUNK overrides for experiments."""
+    group; 16 beat 32 by ~2.7% at 2^20 c=12 on v5e — less overshoot).
+    LWKZG_MSM_CHUNK overrides for experiments."""
     import os
 
-    return int(os.environ.get("LWKZG_MSM_CHUNK", "32"))
+    return int(os.environ.get("LWKZG_MSM_CHUNK", "16"))
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -146,6 +149,7 @@ def bucket_accumulate(
     valid: jnp.ndarray,
     scalars: jnp.ndarray,
     c: int,
+    sync_axis: str | None = None,
 ) -> jnp.ndarray:
     """Accumulate points into Pippenger buckets.
 
@@ -156,7 +160,7 @@ def bucket_accumulate(
              m = w * 2^c + b (bucket 0 of each window is junk).
     """
     return bucket_accumulate_digits(
-        points, prepare_digits(scalars, valid, c), c
+        points, prepare_digits(scalars, valid, c), c, sync_axis=sync_axis
     )
 
 
@@ -164,10 +168,18 @@ def bucket_accumulate_digits(
     points: jnp.ndarray,
     digits: jnp.ndarray,
     c: int,
+    sync_axis: str | None = None,
 ) -> jnp.ndarray:
     """bucket_accumulate from prepared digits [W', N] (any window count —
     the window-sharded multi-chip path feeds each device its own window
-    slice of prepare_digits' output; see parallel/msm.py)."""
+    slice of prepare_digits' output; see parallel/msm.py).
+
+    sync_axis: mesh axis name to pmax the lockstep trip counts over, so
+    every shard runs the SAME number of rounds (one scalar collective).
+    A collective step completes at the slowest shard anyway, and
+    divergent while_loop trip counts deadlock the XLA CPU in-process
+    all_gather rendezvous (40 s termination timeout) on the
+    serial-emulation test mesh. Extra rounds are dead-lane madds."""
     n = points.shape[-1]
     num_buckets = 1 << c
     num_windows = digits.shape[0]
@@ -184,15 +196,17 @@ def bucket_accumulate_digits(
     )
     counts = ends - starts
     max_load = jnp.max(counts[:, 1:])  # bucket 0 excluded
+    if sync_axis is not None:
+        max_load = jax.lax.pmax(max_load, sync_axis)
 
     m_total = num_windows * num_buckets
     buckets0 = g1.infinity_like((), m_total)
     live_bucket = (bucket_ids != 0)[None, :]  # [1, 2^c]
 
-    # Point-major copy, rows PADDED to 128 words: XLA's row gather is
-    # per-row-overhead-bound (~81 ns at 192 B vs ~40 ns at 512 B rows,
-    # measured on v5e) — padding the row to the 512-byte DMA sweet spot
-    # halves gather cost for 2.7x the (cheap) HBM footprint.
+    # Point-major copy, rows padded to a power-of-2 width (_row_words):
+    # the bulk row gather is per-descriptor-bound (~40 ns/row on v5e,
+    # width-independent from 256 B up), so pad to the smallest aligned
+    # row rather than anything wider.
     l = points.shape[1]
     rowm = jnp.transpose(points, (2, 0, 1)).reshape(n, 2 * l)  # [N, 2L]
     rw = max(_row_words(), 2 * l)
@@ -287,6 +301,8 @@ def bucket_accumulate_digits(
     maxl_r = jnp.max(
         counts.reshape(n_groups, gsz, num_buckets)[..., 1:], axis=(1, 2)
     )
+    if sync_axis is not None:
+        maxl_r = jax.lax.pmax(maxl_r, sync_axis)
     woff_r = (
         jnp.arange(n_groups * gsz, dtype=jnp.int32) * n
     ).reshape(n_groups, gsz, 1)
@@ -664,7 +680,7 @@ def msm_fixedbase_device(table, table_valid, scalars, c: int = 8,
     buckets0 = g1.infinity_like((), m_total)
     live_bucket = (bucket_ids != 0)[None, :]
     l = table.shape[1]
-    # 128-word padded rows: see bucket_accumulate on gather row size
+    # power-of-2 padded rows: see bucket_accumulate on gather row size
     rowm = jnp.transpose(table, (2, 0, 1)).reshape(n_members, 2 * l)
     rw = max(_row_words(), 2 * l)
     points_rowmajor = jnp.pad(rowm, ((0, 0), (0, rw - 2 * l)))

@@ -49,8 +49,15 @@ def _tree_fold_points(arr: jnp.ndarray) -> jnp.ndarray:
 
 
 def _local_window_sums(points, valid, scalars, c: int) -> jnp.ndarray:
-    """Single-device Pippenger pipeline: shard -> window sums [3, L, W]."""
-    return msm1.bucket_reduce(msm1.bucket_accumulate(points, valid, scalars, c), c)
+    """Single-device Pippenger pipeline: shard -> window sums [3, L, W].
+
+    Trip counts pmax-synced over the points axis (see
+    ops/msm.bucket_accumulate_digits sync_axis)."""
+    return msm1.bucket_reduce(
+        msm1.bucket_accumulate(points, valid, scalars, c,
+                               sync_axis="points"),
+        c,
+    )
 
 
 # Below ~2^14 points per shard, Pippenger bucket loads are small enough
@@ -133,7 +140,12 @@ def _make_window_sharded_step(mesh: Mesh, c: int):
             )
         d = jax.lax.axis_index("points")
         mine = jax.lax.dynamic_slice_in_dim(digits, d * wd, wd, axis=0)
-        buckets = msm1.bucket_accumulate_digits(pts, mine, c)
+        # sync_axis: all shards lockstep to the global max bucket load —
+        # the gather below waits for the slowest shard anyway, and the
+        # XLA CPU test mesh's rendezvous aborts on divergent trip counts
+        buckets = msm1.bucket_accumulate_digits(
+            pts, mine, c, sync_axis="points"
+        )
         gw = d * wd + jnp.arange(wd)
         ws = msm1.bucket_reduce(buckets, c, top_mask=gw == num_windows - 1)
         all_ws = jax.lax.all_gather(ws, "points")  # [D, 3, L, wd]
