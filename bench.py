@@ -201,13 +201,23 @@ def _device_bench(partial):
     # -- MSM points/sec at 2^12 and 2^20 (device kernel, warm) ---------------
     # 2^12 measured PIPELINED (16 async dispatches, one sync): the sync
     # latency at this size is dominated by the ~40ms tunnel RTT, not the
-    # kernel (round-1 bench under-reported it 3x)
+    # kernel (round-1 bench under-reported it 3x). Routed through the
+    # AOT program cache (ops/aot.py) like the production dispatch, so a
+    # fresh driver box skips the minutes-long Pallas lowering when the
+    # repo ships artifacts for these shapes.
+    from lambdaworks_kzg_tpu.ops import aot
+
+    def run_msm(pts, vld, scl, c):
+        return aot.call(
+            "msm_device", msm1.msm_device, (pts, vld, scl), static=(("c", c),)
+        )
+
     points, valid = backend.points, backend.valid
     scalars = jnp.asarray(codec.blob_to_limbs(blobs[1], setup.n))
-    jax.block_until_ready(msm1.msm_device(points, valid, scalars, backend.c))
+    jax.block_until_ready(run_msm(points, valid, scalars, backend.c))
     t0 = time.perf_counter()
     outs = [
-        msm1.msm_device(points, valid, d, backend.c) for d in dls
+        run_msm(points, valid, d, backend.c) for d in dls
     ]
     jax.block_until_ready(outs)
     extras["msm_2e12_pps"] = round(setup.n * 16 / (time.perf_counter() - t0))
@@ -228,7 +238,7 @@ def _device_bench(partial):
         # (W = ceil(256/c) windows) for per-window bucket-load skew
         for c_big in (8, 12):
             run_big = lambda cb=c_big: jax.block_until_ready(
-                msm1.msm_device(big_pts, big_valid, big_scalars, cb)
+                run_msm(big_pts, big_valid, big_scalars, cb)
             )
             try:
                 t0 = time.perf_counter()
