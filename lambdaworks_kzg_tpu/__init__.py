@@ -55,22 +55,29 @@ def _configure_compile_cache():
         pass  # jax absent or too old: the host tier still works
 
 
-def _seed_bundled_cache(cache: str) -> None:
-    """Seed the per-user XLA cache with the repo-bundled TPU entries.
+def _seed_bundled_cache(cache: str, bundle: str = None) -> None:
+    """Seed the per-user XLA cache from a site-built bundle, if present.
 
-    cache/tpu_jax_cache/ ships the compiled-program cache entries for the
-    protocol-shape kernels (written by scripts/prewarm.py on a v5e chip
-    and committed) — a fresh machine's first commit call then costs
-    seconds (deserialize + cache hit) instead of the ~3 min cold
-    XLA+Mosaic compile. Entries are copied (not symlinked) so the user
-    cache stays self-contained; wrong-platform entries are simply never
-    hit (keys include platform + compile options)."""
+    cache/tpu_jax_cache/ is OPTIONAL and not shipped in the repo: one
+    compiled-program entry for a protocol-shape kernel is ~100-280 MB
+    and already internally compressed (xz gains ~0%), so committing a
+    bundle is not viable. Sites that bake machine images instead run
+    `scripts/prewarm.py --bundle cache/tpu_jax_cache` once on a chip;
+    every later process on image then starts at cache-hit latency.
+    What the repo DOES ship is the AOT-exported programs
+    (cache/aot_*.jaxexp, a few MB each — see ops/aot.py), which remove
+    the minutes of client-side Mosaic lowering; the remaining cold-start
+    cost without a site bundle is one XLA compile per kernel shape.
+    Entries are copied (not symlinked) so the user cache stays
+    self-contained; wrong-platform entries are simply never hit (keys
+    include platform + compile options)."""
     import os
     import shutil
 
-    bundle = os.path.join(
-        os.path.dirname(__file__), "..", "cache", "tpu_jax_cache"
-    )
+    if bundle is None:
+        bundle = os.path.join(
+            os.path.dirname(__file__), "..", "cache", "tpu_jax_cache"
+        )
     if not os.path.isdir(bundle):
         return
     try:

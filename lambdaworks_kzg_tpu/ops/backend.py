@@ -156,7 +156,8 @@ class DeviceBackend:
             return g1_ops.points_to_host(arr)[0]
         return msm.combine_windows_host(arr, self.c)
 
-    def _msm_ws(self, scalars_plain: jnp.ndarray, points=None, valid=None, c=None):
+    def _msm_ws(self, scalars_plain: jnp.ndarray, points=None, valid=None,
+                c=None, scalar_bits: int = 255):
         """[16, N] plain scalars -> [3, L, W] window sums (device)."""
         points = self.points if points is None else points
         valid = self.valid if valid is None else valid
@@ -168,11 +169,13 @@ class DeviceBackend:
                 "msm_device",
                 msm.msm_device,
                 (points, valid, scalars_plain),
-                static=(("c", c),),
+                static=(("c", c), ("scalar_bits", scalar_bits)),
             )
         from ..parallel import msm as pmsm
 
-        return pmsm.make_msm_step(self.mesh, c)(points, valid, scalars_plain)
+        return pmsm.make_msm_step(self.mesh, c, scalar_bits=scalar_bits)(
+            points, valid, scalars_plain
+        )
 
     def _msm_ws_batch(self, scalars_batch: jnp.ndarray) -> List[np.ndarray]:
         """[B, 16, N] plain scalars -> list of [3, L, W] window sums (host).
@@ -207,9 +210,13 @@ class DeviceBackend:
         scalars = msm.scalars_to_device(list(evals))
         return self._srs_msm_finalize(self._srs_msm_dispatch(scalars))
 
-    def msm(self, scalars: Sequence[int], points_affine) -> object:
+    def msm(self, scalars: Sequence[int], points_affine,
+            scalar_bits: int = 255) -> object:
         """General MSM over arbitrary affine points (batch-verify lincombs,
         reference src/lib.rs:679-685) on the device kernels.
+
+        scalar_bits: static promise that every scalar is < 2^scalar_bits
+        (pass 248 for 31-byte-packed data; see ops/msm.prepare_digits).
 
         On a mesh the point list is padded (invalid lanes) to a
         power-of-two multiple of the points axis so shard shapes stay
@@ -246,7 +253,9 @@ class DeviceBackend:
             points = points + [None] * pad
             scalars = scalars + [0] * pad
         pts, valid = g1_ops.make_points_host(points)
-        ws = self._msm_ws(msm.scalars_to_device(scalars), pts, valid, c)
+        ws = self._msm_ws(
+            msm.scalars_to_device(scalars), pts, valid, c, scalar_bits
+        )
         return msm.combine_windows_host(np.asarray(ws), c)
 
     def commit_blob(self, blob: bytes):

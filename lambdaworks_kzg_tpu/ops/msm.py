@@ -49,24 +49,48 @@ from .field_ops import FR
 _GROUP_LANES = 8192
 
 
-def _row_words() -> int:
-    """Gathered point-row width in u32 words (>= 48). Pad beyond
-    2L=48 to a power-of-2 row: the bulk row gather is purely
-    per-descriptor-bound on v5e (64 vs 128 words measured IDENTICAL at
-    2^20, ~40 ns/row), so the smallest aligned row wins on HBM
-    footprint. LWKZG_MSM_ROW_WORDS overrides for experiments."""
+def _env_pow2(name: str, default: int, lo: int, hi: int) -> int:
+    """Read a power-of-2 tuning knob ONCE at import (jitted steps are
+    cached, so a post-trace change could never take effect anyway —
+    reading at import makes that explicit). Invalid values round up to
+    the next power of two and clamp to [lo, hi]."""
     import os
 
-    return int(os.environ.get("LWKZG_MSM_ROW_WORDS", "64"))
+    try:
+        v = int(os.environ.get(name, default))
+    except ValueError:
+        v = default
+    if v <= 0:
+        v = default
+    if v & (v - 1):
+        v = 1 << v.bit_length()
+    return max(lo, min(hi, v))
+
+
+# Gathered point-row width in u32 words (>= 2L = 48, padded to a
+# power-of-2 row): the bulk row gather is purely per-descriptor-bound on
+# v5e (64 vs 128 words measured IDENTICAL at 2^20, ~40 ns/row), so the
+# smallest aligned row wins on HBM footprint.
+_ROW_WORDS = _env_pow2("LWKZG_MSM_ROW_WORDS", 64, 64, 512)
+
+# Slots gathered per bulk take (lockstep overshoot is < chunk per
+# group; 16 beat 32 by ~2.7% at 2^20 c=12 on v5e — less overshoot).
+_CHUNK = _env_pow2("LWKZG_MSM_CHUNK", 16, 1, 1024)
+
+# Fixed-base bulk-gather chunk, independent of the variable-base knob
+# (the fixed-base grid's per-(group,bucket) loads are ~W/2^c times
+# smaller than variable-base bucket loads at the 4096 protocol shape,
+# so half the chunk keeps the same relative overshoot; 8 measured best
+# in the round-4 fixed-base sweep).
+_FB_CHUNK = _env_pow2("LWKZG_MSM_FB_CHUNK", 8, 1, 1024)
+
+
+def _row_words() -> int:
+    return _ROW_WORDS
 
 
 def _chunk_cap() -> int:
-    """Slots gathered per bulk take (lockstep overshoot is < chunk per
-    group; 16 beat 32 by ~2.7% at 2^20 c=12 on v5e — less overshoot).
-    LWKZG_MSM_CHUNK overrides for experiments."""
-    import os
-
-    return int(os.environ.get("LWKZG_MSM_CHUNK", "16"))
+    return _CHUNK
 
 
 def window_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -117,12 +141,29 @@ def _sort_members(digits: jnp.ndarray, n: int, digit_bits: int):
     return order, jnp.take_along_axis(digits, order, axis=1)
 
 
+def num_windows(c: int, scalar_bits: int = 255) -> int:
+    """Effective window count: ceil(scalar_bits / c)."""
+    return (scalar_bits + c - 1) // c
+
+
 def prepare_digits(
-    scalars: jnp.ndarray, valid: jnp.ndarray, c: int
+    scalars: jnp.ndarray, valid: jnp.ndarray, c: int, scalar_bits: int = 255
 ) -> jnp.ndarray:
     """scalars uint32[16, N] + valid bool[N] -> alias-split digits [W, N].
 
     Invalid points and zero digits route to bucket 0 (ignored later).
+
+    scalar_bits: static bound on the scalars — every scalar MUST be
+    < 2^scalar_bits (the caller's contract; violating it silently drops
+    high windows). 255 (any Fr element) is always safe. Narrower bounds
+    matter for both work and load shape: EIP-4844 rollup data is packed
+    31 bytes per field element, and at scalar_bits=255 those 248-bit
+    scalars give the window straddling bit 248 only 248 - c*w bits of
+    entropy — at c=12 its load concentrates 16x in the low 256 of 4096
+    buckets and the lockstep runs ~2x the rounds (the round-3/4 driver
+    bench regression). scalar_bits=248 instead ends the window ladder
+    AT the entropy boundary: one window fewer, and the alias split
+    (below) flattens the top window like any other.
 
     Top-window alias split (any c): top digits are < 2^t (_top_bits),
     so buckets >= 2^t are free. Round-robin points across the
@@ -133,10 +174,13 @@ def prepare_digits(
     2^(c-t) times the mean load and dominate the lockstep rounds.
     """
     n = scalars.shape[1]
-    digits = window_digits(scalars, c)  # [W, N]
+    w_eff = num_windows(c, scalar_bits)
+    digits = window_digits(scalars, c)[:w_eff]  # [W, N]
     digits = jnp.where(valid[None, :], digits, 0)
-    t_bits = _top_bits(c)
+    t_bits = _top_bits(c, scalar_bits)
     aliases = 1 << (c - t_bits)
+    if aliases == 1:  # c divides scalar_bits: no free alias space
+        return digits
     alias = (jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(aliases - 1)) * (
         jnp.uint32(1 << t_bits)
     )
@@ -150,17 +194,21 @@ def bucket_accumulate(
     scalars: jnp.ndarray,
     c: int,
     sync_axis: str | None = None,
+    scalar_bits: int = 255,
 ) -> jnp.ndarray:
     """Accumulate points into Pippenger buckets.
 
     points:  uint32[2, L, N] affine Montgomery
     valid:   bool[N] (False = infinity / padding)
-    scalars: uint32[16, N] plain Fr limbs
+    scalars: uint32[16, N] plain Fr limbs, < 2^scalar_bits each
     returns: uint32[3, L, M] Jacobian bucket sums, M = W * 2^c laid out
              m = w * 2^c + b (bucket 0 of each window is junk).
     """
     return bucket_accumulate_digits(
-        points, prepare_digits(scalars, valid, c), c, sync_axis=sync_axis
+        points,
+        prepare_digits(scalars, valid, c, scalar_bits),
+        c,
+        sync_axis=sync_axis,
     )
 
 
@@ -386,15 +434,15 @@ def _flat(arr4: jnp.ndarray) -> jnp.ndarray:
     return arr4.reshape(s[:-2] + (s[-2] * s[-1],))
 
 
-def _top_bits(c: int) -> int:
-    """Bit-width of the top window's digits: Fr scalars are < 2^255, so
-    with W = ceil(256/c) windows the top digit is < 2^(255 - c*(W-1)).
-    Always < c, so the top window's upper buckets are free alias space
-    (bucket_accumulate round-robins points across them — the lockstep
-    loop runs max-bucket-load rounds, and an unsplit top window would
-    concentrate 2^(c - top_bits) times the mean load there)."""
-    num_windows = (256 + c - 1) // c
-    return 255 - c * (num_windows - 1)
+def _top_bits(c: int, scalar_bits: int = 255) -> int:
+    """Bit-width of the top window's digits: scalars are < 2^scalar_bits,
+    so with W = ceil(scalar_bits/c) windows the top digit is
+    < 2^(scalar_bits - c*(W-1)). When <= c, the top window's upper
+    buckets are free alias space (bucket_accumulate round-robins points
+    across them — the lockstep loop runs max-bucket-load rounds, and an
+    unsplit top window would concentrate 2^(c - top_bits) times the
+    mean load there); == c when c divides scalar_bits (no split)."""
+    return scalar_bits - c * (num_windows(c, scalar_bits) - 1)
 
 
 def bucket_reduce(
@@ -402,6 +450,7 @@ def bucket_reduce(
     c: int,
     merge_top: bool = True,
     top_mask: jnp.ndarray | None = None,
+    scalar_bits: int = 255,
 ) -> jnp.ndarray:
     """[3, L, M] buckets -> [3, L, W] window sums S_w = sum_b b*B_b.
 
@@ -419,10 +468,12 @@ def bucket_reduce(
     arbitrary shard position); None = the last window (single-chip).
     """
     arr = _zero_bucket0(buckets, c)
-    if merge_top:  # generic path only: bucket_accumulate alias-splits the
-        # top window; the fixed-base grid has no top window (lanes are
-        # groups) and must NOT be merged
-        arr = _merge_top_aliases(arr, c, top_mask)
+    if merge_top and _top_bits(c, scalar_bits) < c:
+        # generic path only: bucket_accumulate alias-splits the top
+        # window; the fixed-base grid has no top window (lanes are
+        # groups) and must NOT be merged. No-op when c divides
+        # scalar_bits (prepare_digits skipped the split).
+        arr = _merge_top_aliases(arr, c, top_mask, scalar_bits)
     from . import dispatch
 
     if dispatch.use_pallas():
@@ -437,7 +488,10 @@ def _zero_bucket0(buckets: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _merge_top_aliases(
-    arr: jnp.ndarray, c: int, top_mask: jnp.ndarray | None = None
+    arr: jnp.ndarray,
+    c: int,
+    top_mask: jnp.ndarray | None = None,
+    scalar_bits: int = 255,
 ) -> jnp.ndarray:
     """Merge the top window's alias lanes back: bucket b's aliases live
     at lanes b + a * 2^t for a in [0, 2^(c-t)) (see prepare_digits).
@@ -451,7 +505,7 @@ def _merge_top_aliases(
     num_buckets = 1 << c
     w = arr.shape[-1] // num_buckets
     arr4 = arr.reshape(arr.shape[:-1] + (w, num_buckets))
-    t_bits = _top_bits(c)
+    t_bits = _top_bits(c, scalar_bits)
     if top_mask is None:
         live = arr4[..., -1:, :]
         for _ in range(c - t_bits):
@@ -550,10 +604,19 @@ def _bucket_reduce_scan(arr: jnp.ndarray, c: int) -> jnp.ndarray:
     return a[..., ::num_buckets]  # lane (w, 0) holds S_w
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def msm_device(points, valid, scalars, c: int = 8):
-    """Full single-chip MSM kernel: returns window sums [3, L, W]."""
-    return bucket_reduce(bucket_accumulate(points, valid, scalars, c), c)
+@functools.partial(jax.jit, static_argnames=("c", "scalar_bits"))
+def msm_device(points, valid, scalars, c: int = 8, scalar_bits: int = 255):
+    """Full single-chip MSM kernel: returns window sums [3, L, W].
+
+    scalar_bits: static scalar bound (see prepare_digits) — pass 248 for
+    31-byte-packed rollup blob data (one window fewer AND no mid-ladder
+    entropy cliff; ~25% faster at 2^20 c=12 than treating the same
+    scalars as 255-bit)."""
+    return bucket_reduce(
+        bucket_accumulate(points, valid, scalars, c, scalar_bits=scalar_bits),
+        c,
+        scalar_bits=scalar_bits,
+    )
 
 
 def combine_windows_host(window_sums, c: int):
@@ -568,9 +631,11 @@ def combine_windows_host(window_sums, c: int):
     return acc
 
 
-def msm(points, valid, scalars, c: int = 8):
+def msm(points, valid, scalars, c: int = 8, scalar_bits: int = 255):
     """Single-chip MSM -> host Jacobian point."""
-    return combine_windows_host(msm_device(points, valid, scalars, c), c)
+    return combine_windows_host(
+        msm_device(points, valid, scalars, c, scalar_bits), c
+    )
 
 
 def scalars_to_device(scalar_ints) -> jnp.ndarray:
@@ -709,8 +774,7 @@ def msm_fixedbase_device(table, table_valid, scalars, c: int = 8,
             group_sums.reshape(group_sums.shape[:-1] + (1, groups))
         )
 
-    chunk = max(1, min(_chunk_cap() // 2,
-                       (n_members + groups - 1) // groups))
+    chunk = max(1, min(_FB_CHUNK, (n_members + groups - 1) // groups))
 
     def body(carry):
         base, buckets = carry

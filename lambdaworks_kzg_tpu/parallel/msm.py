@@ -48,15 +48,18 @@ def _tree_fold_points(arr: jnp.ndarray) -> jnp.ndarray:
     return arr[0]
 
 
-def _local_window_sums(points, valid, scalars, c: int) -> jnp.ndarray:
+def _local_window_sums(points, valid, scalars, c: int,
+                       scalar_bits: int = 255) -> jnp.ndarray:
     """Single-device Pippenger pipeline: shard -> window sums [3, L, W].
 
     Trip counts pmax-synced over the points axis (see
     ops/msm.bucket_accumulate_digits sync_axis)."""
     return msm1.bucket_reduce(
         msm1.bucket_accumulate(points, valid, scalars, c,
-                               sync_axis="points"),
+                               sync_axis="points",
+                               scalar_bits=scalar_bits),
         c,
+        scalar_bits=scalar_bits,
     )
 
 
@@ -67,7 +70,8 @@ def _local_window_sums(points, valid, scalars, c: int) -> jnp.ndarray:
 _POINTS_SHARD_MIN = 1 << 14
 
 
-def make_msm_step(mesh: Mesh, c: int = 8, shard: str = "points"):
+def make_msm_step(mesh: Mesh, c: int = 8, shard: str = "points",
+                  scalar_bits: int = 255):
     """Build (and cache) the jitted single-MSM multi-chip step.
 
     Step fn: (points[2, L, N], valid[N], scalars[16, N]) -> replicated
@@ -84,12 +88,12 @@ def make_msm_step(mesh: Mesh, c: int = 8, shard: str = "points"):
     commit) scaling mode. Communication: one all_gather of [3, L, W/D]
     window sums (a few KB).
     """
-    key = (mesh, c, "single", shard)
+    key = (mesh, c, "single", shard, scalar_bits)
     if key in _steps:
         return _steps[key]
 
     if shard == "windows":
-        step = _make_window_sharded_step(mesh, c)
+        step = _make_window_sharded_step(mesh, c, scalar_bits)
     else:
 
         @functools.partial(
@@ -104,7 +108,7 @@ def make_msm_step(mesh: Mesh, c: int = 8, shard: str = "points"):
             check_vma=False,
         )
         def step(pts, vld, scl):
-            ws = _local_window_sums(pts, vld, scl, c)
+            ws = _local_window_sums(pts, vld, scl, c, scalar_bits)
             all_ws = jax.lax.all_gather(ws, "points")  # [D, 3, L, W]
             return _tree_fold_points(all_ws)
 
@@ -112,10 +116,10 @@ def make_msm_step(mesh: Mesh, c: int = 8, shard: str = "points"):
     return _steps[key]
 
 
-def _make_window_sharded_step(mesh: Mesh, c: int):
+def _make_window_sharded_step(mesh: Mesh, c: int, scalar_bits: int = 255):
     """Window-sharded MSM step body (see make_msm_step docstring)."""
     d_size = mesh.shape["points"]
-    num_windows = (256 + c - 1) // c
+    num_windows = msm1.num_windows(c, scalar_bits)
     wd = -(-num_windows // d_size)  # windows per device
     w_pad = wd * d_size
 
@@ -127,7 +131,7 @@ def _make_window_sharded_step(mesh: Mesh, c: int):
         check_vma=False,
     )
     def step(pts, vld, scl):
-        digits = msm1.prepare_digits(scl, vld, c)  # [W, N] (replicated)
+        digits = msm1.prepare_digits(scl, vld, c, scalar_bits)  # [W, N]
         if w_pad != num_windows:
             digits = jnp.concatenate(
                 [
@@ -147,7 +151,8 @@ def _make_window_sharded_step(mesh: Mesh, c: int):
             pts, mine, c, sync_axis="points"
         )
         gw = d * wd + jnp.arange(wd)
-        ws = msm1.bucket_reduce(buckets, c, top_mask=gw == num_windows - 1)
+        ws = msm1.bucket_reduce(buckets, c, top_mask=gw == num_windows - 1,
+                                scalar_bits=scalar_bits)
         all_ws = jax.lax.all_gather(ws, "points")  # [D, 3, L, wd]
         full = jnp.transpose(all_ws, (1, 2, 0, 3)).reshape(
             3, ws.shape[1], w_pad
@@ -158,7 +163,7 @@ def _make_window_sharded_step(mesh: Mesh, c: int):
 
 
 def sharded_msm_device(mesh: Mesh, points, valid, scalars, c: int = 8,
-                       shard: str = "auto"):
+                       shard: str = "auto", scalar_bits: int = 255):
     """MSM sharded over the ``points`` mesh axis (by points or windows;
     "auto" picks windows when per-device point shards would fall under
     the skew knee, see _POINTS_SHARD_MIN)."""
@@ -166,13 +171,14 @@ def sharded_msm_device(mesh: Mesh, points, valid, scalars, c: int = 8,
         d = mesh.shape["points"]
         n = points.shape[-1]
         shard = "points" if n // d >= _POINTS_SHARD_MIN else "windows"
-    return make_msm_step(mesh, c, shard)(points, valid, scalars)
+    return make_msm_step(mesh, c, shard, scalar_bits)(points, valid, scalars)
 
 
 def sharded_msm(mesh: Mesh, points, valid, scalars, c: int = 8,
-                shard: str = "auto"):
+                shard: str = "auto", scalar_bits: int = 255):
     """Multi-chip MSM -> host Jacobian point (Python ints)."""
-    ws = sharded_msm_device(mesh, points, valid, scalars, c, shard)
+    ws = sharded_msm_device(mesh, points, valid, scalars, c, shard,
+                            scalar_bits)
     return msm1.combine_windows_host(ws, c)
 
 

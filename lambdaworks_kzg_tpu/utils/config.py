@@ -18,6 +18,14 @@ Environment overrides (all collected by ``KZGConfig.from_env``):
   LWKZG_PALLAS=0|1              force/disable fused Mosaic kernels
   LWKZG_NATIVE=0                disable the native C++ tier
   LWKZG_COMPILE_CACHE=0|<path>  disable / relocate the XLA compile cache
+
+MSM kernel tuning knobs (read ONCE at ops/msm import — jitted steps are
+cached, so later changes cannot take effect; values are validated and
+rounded to powers of two there):
+
+  LWKZG_MSM_ROW_WORDS=64        gathered point-row width, u32 words
+  LWKZG_MSM_CHUNK=16            variable-base bulk-gather chunk
+  LWKZG_MSM_FB_CHUNK=8          fixed-base bulk-gather chunk
 """
 
 import os

@@ -9,6 +9,7 @@ Usage: python scripts/bench_pairing.py [--batches 1,16,64]
 """
 
 import argparse
+import math
 import os
 import random
 import sys
@@ -103,7 +104,12 @@ def main():
             )
         else:
             t_nat = float("nan")
-        win = "device" if t_dev < t_nat else "native"
+        # NaN compares false both ways: an absent native tier must not
+        # be reported as the winner
+        if math.isnan(t_nat):
+            win = "device (native unavailable)"
+        else:
+            win = "device" if t_dev < t_nat else "native"
         rows.append((b, t_dev * 1e3, t_nat * 1e3, win))
         print(f"batch {b:3d}: device {t_dev*1e3:8.1f} ms  "
               f"native {t_nat*1e3:8.1f} ms  -> {win}", flush=True)

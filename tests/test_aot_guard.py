@@ -39,6 +39,31 @@ def test_shipped_aot_artifacts_are_fresh():
     )
 
 
+def test_seed_bundled_cache_copies_new_entries(tmp_path):
+    """The import-time cache seeder (lambdaworks_kzg_tpu._seed_bundled_cache)
+    copies site-bundle entries into the per-user cache without clobbering
+    existing ones, and is a silent no-op when no bundle exists (the repo
+    commits none — entries are ~100-280 MB; scripts/prewarm.py --bundle
+    builds one for machine images)."""
+    import lambdaworks_kzg_tpu as pkg
+
+    bundle = tmp_path / "bundle"
+    cache = tmp_path / "cache"
+
+    # no bundle dir: silent no-op, cache dir not created
+    pkg._seed_bundled_cache(str(cache), bundle=str(bundle))
+    assert not cache.exists()
+
+    bundle.mkdir()
+    (bundle / "entry-a").write_bytes(b"AAA")
+    (bundle / "entry-b").write_bytes(b"BBB")
+    cache.mkdir()
+    (cache / "entry-a").write_bytes(b"user-version")  # must NOT clobber
+    pkg._seed_bundled_cache(str(cache), bundle=str(bundle))
+    assert (cache / "entry-a").read_bytes() == b"user-version"
+    assert (cache / "entry-b").read_bytes() == b"BBB"
+
+
 def test_index_records_written_on_export(tmp_path, monkeypatch):
     """_index_record round-trips and keeps prior entries."""
     monkeypatch.setattr(

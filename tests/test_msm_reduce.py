@@ -82,6 +82,79 @@ def test_generic_msm_nondividing_c():
     assert HC.points_eq(HC.FP_OPS, got, expected)
 
 
+@pytest.mark.parametrize(
+    "c,scalar_bits",
+    [
+        # the two c=12 cases compile ~90k-lane XLA CPU graphs (minutes
+        # cold): full-suite/CI tier only
+        pytest.param(12, 255, marks=pytest.mark.slow),  # shipped 2^18+ c
+        pytest.param(12, 248, marks=pytest.mark.slow),  # 31-byte-packed
+        (8, 248),   # c divides scalar_bits: alias split must no-op
+        (4, 16),    # narrow scalars, c divides sb
+        (6, 16),    # narrow scalars, non-dividing (t=4, 4-way split)
+    ],
+)
+def test_scalar_bits_variants(c, scalar_bits):
+    """The static scalar_bits bound (ops/msm.prepare_digits): fewer
+    windows, top-window alias split at the entropy boundary — results
+    must stay bit-identical to the host oracle. c=12 is the production
+    default at n >= 2^18 (ops/backend._auto_window) and was previously
+    untested on the CPU oracle path."""
+    setup = srs.create_dev_setup(N, secret=0x5B17 + c)
+    points, valid = g1_ops.make_points_host(setup.g1_lagrange_brp)
+    rng = random.Random(17 + c + scalar_bits)
+    bound = R if scalar_bits >= 255 else (1 << scalar_bits)
+    scalar_ints = [rng.randrange(bound) for _ in range(N)]
+    scalar_ints[0] = 0
+    scalar_ints[1] = bound - 1  # top window's highest digit exercised
+    scalars = msm.scalars_to_device(scalar_ints)
+    got = msm.msm(points, valid, scalars, c=c, scalar_bits=scalar_bits)
+    expected = HC.g1_msm(scalar_ints, setup.g1_lagrange_brp)
+    assert HC.points_eq(HC.FP_OPS, got, expected)
+
+
+@pytest.mark.parametrize(
+    "c,scalar_bits", [(12, 255), (12, 248), (8, 248), (13, 255), (6, 16)]
+)
+def test_prepare_digits_reconstructs_scalars(c, scalar_bits):
+    """Digit-level gate for every (c, scalar_bits) shape — fast enough
+    for the default tier (the end-to-end c=12 MSM tests above cost ~45
+    one-core minutes each and run in the slow/CI tier).
+
+    Undoing the top-window alias split (digit mod 2^t for the occupied
+    alias lanes) and Horner-recombining the digits must reproduce every
+    scalar exactly; invalid lanes must be all-zero digits."""
+    import jax.numpy as jnp
+
+    from lambdaworks_kzg_tpu.ops import limbs as lb
+
+    n = 64
+    rng = random.Random(100 + c)
+    bound = R if scalar_bits >= 255 else (1 << scalar_bits)
+    ints = [rng.randrange(bound) for _ in range(n)]
+    ints[0] = 0
+    ints[1] = bound - 1
+    valid = np.ones(n, dtype=bool)
+    valid[2] = False  # digits must zero out
+    scalars = jnp.asarray(lb.ints_to_limbs(ints, 16))
+    digits = np.array(
+        msm.prepare_digits(scalars, jnp.asarray(valid), c, scalar_bits)
+    )
+    w_eff = msm.num_windows(c, scalar_bits)
+    assert digits.shape == (w_eff, n)
+    t_bits = msm._top_bits(c, scalar_bits)
+    top = digits[-1].copy()
+    # un-alias: occupied lanes carry digit + alias * 2^t with digit in
+    # [1, 2^t); zero lanes stay zero
+    unaliased = np.where(top == 0, 0, ((top - 1) % (1 << t_bits)) + 1)
+    digits[-1] = unaliased
+    for i in range(n):
+        got = 0
+        for w in range(w_eff - 1, -1, -1):
+            got = (got << c) | int(digits[w, i])
+        assert got == (ints[i] if valid[i] else 0), f"lane {i}"
+
+
 def test_window_grouped_lockstep(monkeypatch):
     """The TPU multi-group (lane-capped) lockstep == host oracle.
 
