@@ -82,9 +82,16 @@ def main():
     for b in (int(x) for x in args.batches.split(",")):
         insts = [rand_instance() for _ in range(b)]
         ps, qs = to_dev(insts)
-        t_dev = best(
-            lambda: np.asarray(pairing_ops.pairing_check(ps, qs)), args.iters
-        )
+        try:
+            t_dev = best(
+                lambda: np.asarray(pairing_ops.pairing_check(ps, qs)),
+                args.iters,
+            )
+        except Exception as e:  # compile OOM/SIGKILL on small hosts must
+            # not kill the bench — the native tier still gets measured
+            print(f"batch {b}: device pairing unavailable ({e})",
+                  file=sys.stderr)
+            t_dev = float("nan")
         if native.available():
             insts_aff = [
                 (
@@ -104,10 +111,14 @@ def main():
             )
         else:
             t_nat = float("nan")
-        # NaN compares false both ways: an absent native tier must not
-        # be reported as the winner
-        if math.isnan(t_nat):
+        # NaN compares false both ways: an unmeasured tier must not be
+        # reported as the winner
+        if math.isnan(t_nat) and math.isnan(t_dev):
+            win = "n/a (neither tier measured)"
+        elif math.isnan(t_nat):
             win = "device (native unavailable)"
+        elif math.isnan(t_dev):
+            win = "native (device unavailable)"
         else:
             win = "device" if t_dev < t_nat else "native"
         rows.append((b, t_dev * 1e3, t_nat * 1e3, win))
