@@ -188,6 +188,27 @@ def prepare_digits(
     return digits.at[-1].set(jnp.where(top != 0, top + alias, 0))
 
 
+def _auto_split_parts(n: int, c: int) -> int:
+    """Smallest power-of-2 part count restoring the packed-key sort.
+
+    The single-array sort needs c + log2(n) <= 32 (see _sort_members);
+    at n = 2^21, c = 12 that is 33 bits and round 4 fell back to the
+    ~2x-costlier argsort tier (472k vs 518k pts/s at the neighbouring
+    2^20). Splitting the MSM into parts of n/parts points keeps the
+    packed sort in every part; the parts' bucket grids lane-add into
+    one grid for the ordinary reduce. Extra cost is only skew: each
+    part's lockstep runs to its OWN max bucket load (mean load per
+    part shrinks by `parts`, max/mean grows slightly)."""
+    if n < 2 or n & (n - 1):
+        return 1
+    parts = 1
+    while (
+        c + (n // parts - 1).bit_length() > 32 and n // parts >= 2
+    ):
+        parts *= 2
+    return parts
+
+
 def bucket_accumulate(
     points: jnp.ndarray,
     valid: jnp.ndarray,
@@ -195,15 +216,43 @@ def bucket_accumulate(
     c: int,
     sync_axis: str | None = None,
     scalar_bits: int = 255,
+    parts: int | None = None,
 ) -> jnp.ndarray:
     """Accumulate points into Pippenger buckets.
 
     points:  uint32[2, L, N] affine Montgomery
     valid:   bool[N] (False = infinity / padding)
     scalars: uint32[16, N] plain Fr limbs, < 2^scalar_bits each
+    parts:   split the point set into this many equal slices, bucket-
+             accumulate each, and lane-add the grids (None = auto: 1 on
+             CPU / under sync_axis; on TPU the smallest power of two
+             that keeps the packed-key sort — see _auto_split_parts).
     returns: uint32[3, L, M] Jacobian bucket sums, M = W * 2^c laid out
              m = w * 2^c + b (bucket 0 of each window is junk).
     """
+    n = points.shape[-1]
+    if parts is None:
+        from . import dispatch as _dispatch
+
+        parts = (
+            _auto_split_parts(n, c)
+            if sync_axis is None and _dispatch.use_pallas()
+            else 1
+        )
+    if parts > 1 and n % parts == 0 and n // parts >= 1:
+        h = n // parts
+        out = None
+        for p in range(parts):
+            sl = slice(p * h, (p + 1) * h)
+            grid = bucket_accumulate_digits(
+                points[..., sl],
+                prepare_digits(
+                    scalars[..., sl], valid[sl], c, scalar_bits
+                ),
+                c,
+            )
+            out = grid if out is None else _add(out, grid)
+        return out
     return bucket_accumulate_digits(
         points,
         prepare_digits(scalars, valid, c, scalar_bits),

@@ -82,6 +82,46 @@ def test_generic_msm_nondividing_c():
     assert HC.points_eq(HC.FP_OPS, got, expected)
 
 
+@pytest.mark.slow  # ~5 one-core minutes of XLA CPU compile; verified
+# green in round 5 (full tier / CI)
+def test_split_accumulate_matches_oracle():
+    """The split bucket-accumulate tier (ops/msm._auto_split_parts):
+    when c + log2(n) > 32 the packed-key sort no longer fits a u32 key
+    (2^21 at the shipped c=12), so the point set is split into parts
+    whose grids lane-add into one bucket grid for the ordinary reduce.
+    parts > 1 must agree with the host oracle and with parts = 1
+    (projective equality — Jacobian representatives differ), including
+    an infinity lane, a zero scalar, and the top-window alias split."""
+    setup = srs.create_dev_setup(N, secret=0x5117)
+    pts_aff = list(setup.g1_lagrange_brp)
+    pts_aff[5] = None  # infinity lane inside the second part
+    points, valid = g1_ops.make_points_host(pts_aff)
+    rng = random.Random(23)
+    scalar_ints = [rng.randrange(R) for _ in range(N)]
+    scalar_ints[0] = 0
+    scalar_ints[2] = R - 1  # top window exercised in part 0
+    scalars = msm.scalars_to_device(scalar_ints)
+    expected = HC.g1_msm(scalar_ints, pts_aff)
+    for parts in (1, 4):
+        grid = msm.bucket_accumulate(
+            points, valid, scalars, C_BITS, parts=parts
+        )
+        pt = msm.combine_windows_host(
+            np.asarray(msm.bucket_reduce(grid, C_BITS)), C_BITS
+        )
+        assert HC.points_eq(HC.FP_OPS, pt, expected), f"parts={parts}"
+
+
+def test_auto_split_parts_thresholds():
+    """Auto part count trips exactly at the u32 packed-key boundary."""
+    assert msm._auto_split_parts(1 << 20, 12) == 1
+    assert msm._auto_split_parts(1 << 21, 12) == 2
+    assert msm._auto_split_parts(1 << 22, 12) == 4
+    assert msm._auto_split_parts(1 << 12, 8) == 1
+    assert msm._auto_split_parts(1 << 21, 8) == 1  # 8 + 21 <= 32
+    assert msm._auto_split_parts((1 << 21) - 8, 12) == 1  # non-pow2: argsort
+
+
 @pytest.mark.parametrize(
     "c,scalar_bits",
     [
